@@ -1,0 +1,273 @@
+"""Typed configuration for swinvox_tpu.
+
+Field names and defaults mirror the reference's EasyDict config
+(/root/reference/config.py:1-142) so that recipes transfer 1:1, but the
+implementation is a tree of typed dataclasses with validation, serialization,
+and CLI override support instead of a hand-mutated global dict.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class ShapeNetPaths:
+    """Path templates for the ShapeNet dataset (reference config.py:17-30)."""
+
+    TAXONOMY_FILE_PATH: str = "./datasets/ShapeNet.json"
+    RENDERING_PATH: str = "./data/ShapeNetRendering/%s/%s/rendering/%02d.png"
+    VOXEL_PATH: str = "./data/ShapeNetVox32/%s/%s/model.binvox"
+
+
+@dataclass
+class Pascal3DPaths:
+    """Path templates for Pascal3D (reference config.py:32-36)."""
+
+    TAXONOMY_FILE_PATH: str = "./datasets/Pascal3D.json"
+    ANNOTATION_PATH: str = "./data/PASCAL3D/Annotations/%s_imagenet/%s.mat"
+    RENDERING_PATH: str = "./data/PASCAL3D/Images/%s_imagenet/%s.JPEG"
+    VOXEL_PATH: str = "./data/PASCAL3D/CAD/%s/%02d.binvox"
+
+
+@dataclass
+class Pix3DPaths:
+    """Path templates for Pix3D (reference config.py:37-41)."""
+
+    TAXONOMY_FILE_PATH: str = "./datasets/Pix3D.json"
+    ANNOTATION_PATH: str = "./data/pix3d.json"
+    RENDERING_PATH: str = "./data/pix3d/img/%s/%s.%s"
+    VOXEL_PATH: str = "./data/pix3d/model/%s/%s/%s.binvox"
+
+
+@dataclass
+class DatasetsConfig:
+    SHAPENET: ShapeNetPaths = field(default_factory=ShapeNetPaths)
+    PASCAL3D: Pascal3DPaths = field(default_factory=Pascal3DPaths)
+    PIX3D: Pix3DPaths = field(default_factory=Pix3DPaths)
+
+
+@dataclass
+class DatasetConfig:
+    """Dataset selection + normalization (reference config.py:47-53)."""
+
+    MEAN: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    STD: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    TRAIN_DATASET: str = "ShapeNet"
+    TEST_DATASET: str = "ShapeNet"
+
+
+@dataclass
+class ConstConfig:
+    """Common constants (reference config.py:59-69)."""
+
+    DEVICE: str = "0"
+    RNG_SEED: int = 0
+    IMG_W: int = 224
+    IMG_H: int = 224
+    BATCH_SIZE: int = 32
+    N_VIEWS_RENDERING: int = 1
+    CROP_IMG_W: int = 128
+    CROP_IMG_H: int = 128
+    NUM_WORKER: int = 16
+    WEIGHTS: str = ""
+
+
+@dataclass
+class DirConfig:
+    OUT_PATH: str = "./output"
+    RANDOM_BG_PATH: str = ""
+
+
+@dataclass
+class NetworkConfig:
+    """Model architecture flags (reference config.py:83-94)."""
+
+    LEAKY_VALUE: float = 0.2
+    TCONV_USE_BIAS: bool = False
+    USE_REFINER: bool = True
+    USE_MERGER: bool = True
+
+    USE_SWIN_T_MULTI_STAGE: bool = True
+    SWIN_T_STAGES: Tuple[int, ...] = (0, 1, 2, 3)
+    USE_CROSS_VIEW_ATTENTION: bool = True
+    CROSS_ATT_REDUCTION_RATIO: int = 4
+    ATT_SPATIAL_DOWNSAMPLE_RATIO: int = 2
+    CROSS_ATT_NUM_HEADS: int = 4
+
+    # TPU-native extensions (not in the reference):
+    #   compute dtype for the forward/backward pass; params stay float32.
+    COMPUTE_DTYPE: str = "bfloat16"
+    #   use the fused Pallas window-attention kernel inside the Swin encoder
+    #   (falls back to the pure-XLA path off-TPU or when False).
+    USE_PALLAS_WINDOW_ATTENTION: bool = True
+    #   initialize backbones from converted pretrained weights when a
+    #   checkpoint path is given.  The reference downloads pretrained
+    #   ResNet-50/Swin-Tiny but then clobbers them with init_weights
+    #   (reference core/train.py:91-94, utils/helpers.py:20-44), so the
+    #   as-coded behavior is random init; keep that as the default.
+    PRETRAINED_BACKBONE: str = ""
+
+
+@dataclass
+class TrainConfig:
+    """Training hyperparameters (reference config.py:100-124)."""
+
+    RESUME_TRAIN: bool = False
+    NUM_EPOCHS: int = 200
+    BRIGHTNESS: float = 0.13746317606570424
+    CONTRAST: float = 0.3365401951623921
+    SATURATION: float = 0.20370660036548005
+    NOISE_STD: float = 0.0850409938037522
+    RANDOM_BG_COLOR_RANGE: Tuple[Tuple[int, int], ...] = (
+        (225, 255),
+        (225, 255),
+        (225, 255),
+    )
+    POLICY: str = "adam"  # 'adam' | 'sgd'
+    EPOCH_START_USE_REFINER: int = 0
+    EPOCH_START_USE_MERGER: int = 0
+    ENCODER_LEARNING_RATE: float = 3.834299021554089e-06
+    DECODER_LEARNING_RATE: float = 2.4966084898328403e-05
+    REFINER_LEARNING_RATE: float = 1.6418272442716922e-06
+    MERGER_LEARNING_RATE: float = 0.00022177181973320365
+    ENCODER_LR_MILESTONES: Tuple[int, ...] = (150,)
+    DECODER_LR_MILESTONES: Tuple[int, ...] = (150,)
+    REFINER_LR_MILESTONES: Tuple[int, ...] = (150,)
+    MERGER_LR_MILESTONES: Tuple[int, ...] = (150,)
+    BETAS: Tuple[float, float] = (0.8500000000000001, 0.993)
+    MOMENTUM: float = 0.9
+    GAMMA: float = 0.8830819189779433
+    WEIGHT_DECAY: float = 0.0003370779562775397
+    SAVE_FREQ: int = 10
+    UPDATE_N_VIEWS_RENDERING: bool = False
+    GRAD_CLIP_NORM: float = 1.0
+
+
+@dataclass
+class TestConfig:
+    """Eval options (reference config.py:130-132)."""
+
+    RANDOM_BG_COLOR_RANGE: Tuple[Tuple[int, int], ...] = (
+        (240, 240),
+        (240, 240),
+        (240, 240),
+    )
+    VOXEL_THRESH: Tuple[float, ...] = (0.2, 0.3, 0.4, 0.5)
+
+
+@dataclass
+class LRFinderConfig:
+    """LR range-test options (reference config.py:138-142)."""
+
+    START_LR: float = 1e-7
+    END_LR: float = 1e-2
+    NUM_BATCHES_TO_TEST: int = 1000
+    AVG_BETA: float = 0.98
+
+
+@dataclass
+class ParallelConfig:
+    """TPU mesh / sharding options (no reference analogue; replaces the
+    reference's single-process torch.nn.DataParallel, core/train.py:156-161)."""
+
+    # Mesh axis sizes; -1 on DATA means "all remaining devices".
+    DATA_PARALLEL: int = -1
+    MODEL_PARALLEL: int = 1
+    MESH_AXIS_NAMES: Tuple[str, str] = ("data", "model")
+
+
+@dataclass
+class Config:
+    DATASETS: DatasetsConfig = field(default_factory=DatasetsConfig)
+    DATASET: DatasetConfig = field(default_factory=DatasetConfig)
+    CONST: ConstConfig = field(default_factory=ConstConfig)
+    DIR: DirConfig = field(default_factory=DirConfig)
+    NETWORK: NetworkConfig = field(default_factory=NetworkConfig)
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    LR_FINDER: LRFinderConfig = field(default_factory=LRFinderConfig)
+    PARALLEL: ParallelConfig = field(default_factory=ParallelConfig)
+
+    # ---- serialization ----------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kwargs: Any) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kwargs)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        cfg = cls()
+        cfg.update(d)
+        return cfg
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    # ---- overrides ---------------------------------------------------------
+
+    def update(self, overrides: dict) -> "Config":
+        """Recursively apply a nested dict of overrides in place."""
+        _apply_overrides(self, overrides)
+        return self
+
+    def set(self, dotted_key: str, value: Any) -> "Config":
+        """Set e.g. cfg.set('NETWORK.USE_MERGER', False)."""
+        parts = dotted_key.split(".")
+        obj: Any = self
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        current = getattr(obj, parts[-1])
+        if current is not None and not isinstance(current, bool) and isinstance(
+            current, (int, float)
+        ):
+            value = type(current)(value)
+        setattr(obj, parts[-1], value)
+        return self
+
+    def get(self, dotted_key: str) -> Any:
+        obj: Any = self
+        for p in dotted_key.split("."):
+            obj = getattr(obj, p)
+        return obj
+
+    def validate(self) -> None:
+        if self.TRAIN.POLICY not in ("adam", "sgd"):
+            raise ValueError(f"Unknown optimizer policy {self.TRAIN.POLICY!r}")
+        stages = tuple(self.NETWORK.SWIN_T_STAGES)
+        if stages == (-1,):
+            stages = (3,)
+            self.NETWORK.SWIN_T_STAGES = stages
+        if any(s < 0 or s > 3 for s in stages):
+            raise ValueError(f"SWIN_T_STAGES must be within [0,3], got {stages}")
+        reduced = 512 // self.NETWORK.CROSS_ATT_REDUCTION_RATIO
+        if reduced % self.NETWORK.CROSS_ATT_NUM_HEADS != 0:
+            raise ValueError(
+                f"cross-view reduced channels ({reduced}) must be divisible by "
+                f"num_heads ({self.NETWORK.CROSS_ATT_NUM_HEADS})"
+            )
+        if self.CONST.N_VIEWS_RENDERING < 1:
+            raise ValueError("N_VIEWS_RENDERING must be >= 1")
+
+
+def _apply_overrides(obj: Any, overrides: dict) -> None:
+    for k, v in overrides.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"Unknown config key: {k} on {type(obj).__name__}")
+        current = getattr(obj, k)
+        if dataclasses.is_dataclass(current) and isinstance(v, dict):
+            _apply_overrides(current, v)
+        else:
+            if isinstance(current, tuple) and isinstance(v, (list, tuple)):
+                v = tuple(tuple(x) if isinstance(x, (list, tuple)) else x for x in v)
+            setattr(obj, k, v)
+
+
+def default_config() -> Config:
+    return Config()
