@@ -1,0 +1,244 @@
+"""Swin-Tiny backbone, implemented natively (the reference uses timm).
+
+Architecture parity with timm's ``swin_tiny_patch4_window7_224`` consumed at
+reference models/swin_transformer.py:19-24: patch size 4, window 7, embed dim
+96, depths (2, 2, 6, 2), heads (3, 6, 12, 24), MLP ratio 4, qkv bias, relative
+position bias, alternating W-MSA / SW-MSA (shift = window//2), patch merging
+(concat 2x2 -> LN -> Linear 4C->2C no bias), stochastic depth 0.1 linearly
+scaled over blocks.  Stage outputs (NHWC): [56,56,96], [28,28,192],
+[14,14,384], [7,7,7,768 -> 7,7,768].
+
+TPU-first design notes:
+  * windows are flattened into the batch axis and attention runs through
+    swinvox_tpu.ops.window_attention (XLA einsum or fused Pallas kernel);
+  * cyclic shift is jnp.roll (lowered to cheap HBM-free slices by XLA);
+  * the shifted-window mask and relative-position index are numpy constants
+    baked at trace time — no dynamic shapes anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from swinvox_tpu.models.layers import (
+    Conv,
+    Dense,
+    DropPath,
+    LayerNorm,
+    trunc_normal_init,
+)
+from swinvox_tpu.ops.window_attention import window_attention
+
+Dtype = Any
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(window: int) -> np.ndarray:
+    """[T, T] indices into the (2w-1)^2 relative-position bias table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
+    )  # [2, w, w]
+    flat = coords.reshape(2, -1)  # [2, T]
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, T, T]
+    rel = rel.transpose(1, 2, 0) + (window - 1)  # shift to >= 0
+    return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Additive attention mask [nW, T, T] for SW-MSA (0 same-region, -100 else)."""
+    img_mask = np.zeros((h, w), dtype=np.int32)
+    region = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img_mask[hs, ws] = region
+            region += 1
+    windows = img_mask.reshape(h // window, window, w // window, window)
+    windows = windows.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = windows[:, :, None] - windows[:, None, :]
+    return np.where(diff == 0, 0.0, -100.0).astype(np.float32)
+
+
+def window_partition(x: jax.Array, window: int) -> jax.Array:
+    """[B, H, W, C] -> [B * nW, T, C]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, c)
+
+
+def window_unpartition(x: jax.Array, window: int, h: int, w: int) -> jax.Array:
+    """[B * nW, T, C] -> [B, H, W, C]."""
+    t, c = x.shape[-2:]
+    b = x.shape[0] // ((h // window) * (w // window))
+    x = x.reshape(b, h // window, w // window, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+class WindowMSA(nn.Module):
+    """Multi-head self-attention within windows, with rel-pos bias."""
+
+    dim: int
+    num_heads: int
+    window: int = 7
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x_windows: jax.Array, mask: Optional[np.ndarray]
+    ) -> jax.Array:
+        nw, tokens, c = x_windows.shape
+        head_dim = self.dim // self.num_heads
+
+        qkv = Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x_windows)
+        qkv = qkv.reshape(nw, tokens, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, nW, heads, T, hd]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        bias_table = self.param(
+            "rel_pos_bias_table",
+            trunc_normal_init(0.02),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        idx = relative_position_index(self.window).reshape(-1)
+        rel_bias = bias_table[idx].reshape(tokens, tokens, self.num_heads)
+        rel_bias = rel_bias.transpose(2, 0, 1)  # [heads, T, T]
+
+        mask_arr = None if mask is None else jnp.asarray(mask)
+        out = window_attention(
+            q, k, v, rel_bias, mask_arr, use_pallas=self.use_pallas
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(nw, tokens, self.dim)
+        return Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    """LN -> (S)W-MSA -> residual -> LN -> MLP -> residual."""
+
+    dim: int
+    num_heads: int
+    window: int = 7
+    shift: int = 0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        b, h, w, c = x.shape
+        shortcut = x
+
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if self.shift > 0:
+            y = jnp.roll(y, shift=(-self.shift, -self.shift), axis=(1, 2))
+            mask = shifted_window_mask(h, w, self.window, self.shift)
+        else:
+            mask = None
+        y = window_partition(y, self.window)
+        y = WindowMSA(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window=self.window,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="attn",
+        )(y, mask)
+        y = window_unpartition(y, self.window, h, w)
+        if self.shift > 0:
+            y = jnp.roll(y, shift=(self.shift, self.shift), axis=(1, 2))
+        x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(
+            y, deterministic
+        )
+
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + DropPath(self.drop_path_rate, name="drop_path2")(
+            y, deterministic
+        )
+
+
+class PatchMerging(nn.Module):
+    """Concat 2x2 neighbors -> LN(4C) -> Linear 4C -> 2C (no bias)."""
+
+    dim: int  # input channel count C
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        # canonical swin order: (0,0), (1,0), (0,1), (1,1) along channels
+        x = jnp.concatenate(
+            [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]],
+            axis=-1,
+        )
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        return Dense(
+            2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction"
+        )(x)
+
+
+class SwinTiny(nn.Module):
+    """Swin-Tiny feature extractor returning all four stage outputs (NHWC)."""
+
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window: int = 7
+    patch_size: int = 4
+    drop_path_rate: float = 0.1
+    in_channels: int = 3
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> List[jax.Array]:
+        # patch embed: conv k4 s4 + LN
+        x = Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=self.patch_size,
+            padding=0,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        x = LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+
+        total_blocks = sum(self.depths)
+        dp_rates = np.linspace(0.0, self.drop_path_rate, total_blocks)
+
+        features: List[jax.Array] = []
+        block_idx = 0
+        dim = self.embed_dim
+        for stage_idx, (depth, heads) in enumerate(
+            zip(self.depths, self.num_heads)
+        ):
+            if stage_idx > 0:
+                x = PatchMerging(dim=dim, dtype=self.dtype,
+                                 name=f"merge{stage_idx}")(x)
+                dim = dim * 2
+            for d in range(depth):
+                x = SwinBlock(
+                    dim=dim,
+                    num_heads=heads,
+                    window=self.window,
+                    shift=0 if d % 2 == 0 else self.window // 2,
+                    drop_path_rate=float(dp_rates[block_idx]),
+                    dtype=self.dtype,
+                    use_pallas=self.use_pallas,
+                    name=f"stage{stage_idx}_block{d}",
+                )(x, deterministic=not train)
+                block_idx += 1
+            features.append(x)
+        return features
