@@ -110,6 +110,11 @@ class NetworkConfig:
     #   (reference core/train.py:91-94, utils/helpers.py:20-44), so the
     #   as-coded behavior is random init; keep that as the default.
     PRETRAINED_BACKBONE: str = ""
+    #   backbone scale (defaults = reference ResNet-50 / Swin-Tiny);
+    #   smaller values give cheap model-family variants (e.g. SwinVox-Nano
+    #   for CI: SWIN_DEPTHS=(1,1,1,1), RESNET_STAGE_DEPTHS=(1,1,1)).
+    SWIN_DEPTHS: Tuple[int, ...] = (2, 2, 6, 2)
+    RESNET_STAGE_DEPTHS: Tuple[int, int, int] = (3, 4, 6)
 
 
 @dataclass
@@ -224,7 +229,11 @@ class Config:
         for p in parts[:-1]:
             obj = getattr(obj, p)
         current = getattr(obj, parts[-1])
-        if current is not None and not isinstance(current, bool) and isinstance(
+        if isinstance(current, tuple) and isinstance(value, (list, tuple)):
+            value = tuple(
+                tuple(v) if isinstance(v, (list, tuple)) else v for v in value
+            )
+        elif current is not None and not isinstance(current, bool) and isinstance(
             current, (int, float)
         ):
             value = type(current)(value)

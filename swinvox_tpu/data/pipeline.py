@@ -1,0 +1,245 @@
+"""Host data pipeline: decode, augment, batch, prefetch.
+
+Replaces the reference's torch DataLoader + 16 worker processes
+(core/train.py:64-76) with a thread-pool pipeline: PNG decode (PIL) and
+numpy augmentation release the GIL, so threads scale without pickling or
+process startup; batches are assembled into pinned contiguous arrays and
+prefetched ahead of the training step so the TPU never waits on the host.
+
+View selection matches the reference (utils/data_loaders.py:61-67):
+TRAIN draws a random subset of n views per epoch; VAL/TEST take the first n.
+Images decode to float32 BGR(A)/255 exactly like cv2.imread(UNCHANGED)/255.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from swinvox_tpu.config import Config
+from swinvox_tpu.data import binvox
+from swinvox_tpu.data.taxonomy import DatasetType, SampleRecord
+
+log = logging.getLogger(__name__)
+
+
+def load_image_bgr(path: str) -> np.ndarray:
+    """Decode an image file to float32 BGR(A) in [0,1].
+
+    Matches cv2.imread(IMREAD_UNCHANGED).astype(float32)/255 (reference
+    utils/data_loaders.py:71): RGBA files keep alpha, channels flipped
+    RGB->BGR; grayscale is stacked to 3 channels (reference :194-196).
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    arr = arr.astype(np.float32) / 255.0
+    if arr.shape[-1] == 4:
+        return arr[..., [2, 1, 0, 3]]
+    return arr[..., ::-1]
+
+
+def load_volume(path: str) -> np.ndarray:
+    """Decode a ground-truth volume (.binvox or .mat) to float32."""
+    if path.endswith(".mat"):
+        import scipy.io
+
+        return scipy.io.loadmat(path)["Volume"].astype(np.float32)
+    with open(path, "rb") as f:
+        return binvox.read_as_3d_array(f).data.astype(np.float32)
+
+
+@dataclass
+class Batch:
+    taxonomy_ids: List[str]
+    sample_names: List[str]
+    images: np.ndarray  # [B, N, H, W, 3] float32, normalized
+    volumes: np.ndarray  # [B, D, H, W] float32 {0,1}
+
+
+class VoxelDataset:
+    """Decoded + transformed samples over an index's records."""
+
+    def __init__(
+        self,
+        records: Sequence[SampleRecord],
+        split: DatasetType,
+        n_views: int,
+        cfg: Config,
+        train_augment: bool,
+        seed: int = 0,
+    ):
+        self.records = list(records)
+        self.split = split
+        self.n_views = n_views
+        self.cfg = cfg
+        self.train_augment = train_augment
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def set_n_views(self, n_views: int) -> None:
+        """Reference's set_n_views_rendering (utils/data_loaders.py:51-52)."""
+        self.n_views = n_views
+
+    def load(self, idx: int, epoch: int = 0) -> Tuple[str, str, np.ndarray, np.ndarray]:
+        from swinvox_tpu.data.transforms import eval_transform, train_transform
+
+        rec = self.records[idx]
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx])
+        )
+        if self.split == DatasetType.TRAIN:
+            chosen = rng.choice(
+                len(rec.image_paths), size=self.n_views, replace=False
+            )
+            paths = [rec.image_paths[i] for i in chosen]
+        else:
+            paths = rec.image_paths[: self.n_views]
+        images = np.stack([load_image_bgr(p) for p in paths])
+        volume = load_volume(rec.volume_path)
+        if self.train_augment:
+            images = train_transform(images, self.cfg, rng, rec.bounding_box)
+        else:
+            images = eval_transform(images, self.cfg, rng, rec.bounding_box)
+        return rec.taxonomy_id, rec.sample_name, images, volume
+
+
+class BatchLoader:
+    """Shuffling, prefetching batch iterator over a VoxelDataset.
+
+    Iterating yields Batch objects; an internal thread pool decodes samples
+    and a bounded queue keeps `prefetch` batches ready.
+    """
+
+    def __init__(
+        self,
+        dataset: VoxelDataset,
+        batch_size: int,
+        shuffle: bool,
+        drop_last: bool,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch])
+            ).shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Batch]:
+        batches = self._batch_indices()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def assemble(idxs: np.ndarray) -> Batch:
+            samples = [self.dataset.load(int(i), self.epoch) for i in idxs]
+            tax, names, images, volumes = zip(*samples)
+            return Batch(
+                taxonomy_ids=list(tax),
+                sample_names=list(names),
+                images=np.stack(images),
+                volumes=np.stack(volumes),
+            )
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [pool.submit(assemble, b) for b in batches]
+                for fut in futures:
+                    if stop.is_set():
+                        fut.cancel()
+                        continue
+                    try:
+                        out_q.put(fut.result())
+                    except Exception as e:  # surface worker errors
+                        out_q.put(e)
+                        return
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def build_loader(
+    cfg: Config,
+    split: DatasetType,
+    n_views: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    dataset_name: Optional[str] = None,
+    seed: int = 0,
+) -> BatchLoader:
+    """Assemble index -> dataset -> loader for a split, reference-style."""
+    from swinvox_tpu.data.taxonomy import DATASET_INDEX_MAPPING
+
+    if dataset_name is None:
+        dataset_name = (
+            cfg.DATASET.TRAIN_DATASET
+            if split == DatasetType.TRAIN
+            else cfg.DATASET.TEST_DATASET
+        )
+    index = DATASET_INDEX_MAPPING[dataset_name](cfg)
+    records = index.samples(split)
+    train = split == DatasetType.TRAIN
+    dataset = VoxelDataset(
+        records,
+        split,
+        n_views or cfg.CONST.N_VIEWS_RENDERING,
+        cfg,
+        train_augment=train,
+        seed=seed,
+    )
+    return BatchLoader(
+        dataset,
+        batch_size=batch_size or (cfg.CONST.BATCH_SIZE if train else 1),
+        shuffle=train,
+        drop_last=train,
+        num_workers=cfg.CONST.NUM_WORKER,
+        seed=seed,
+    )

@@ -1,0 +1,316 @@
+"""Host-side image transforms — functional, vectorized, explicitly seeded.
+
+Replicates the distributions and math of reference utils/data_transforms.py
+(bbox-guided square crops with jitter and edge padding, alpha-keyed random
+background compositing, shared-parameter color jitter with BGR gray weights,
+PCA-style RGB noise, per-view flips, shared channel permutation, (x-m)/s
+normalization), with three deliberate engineering differences:
+
+  * every random draw comes from an explicit numpy Generator (no global
+    RNG) so the pipeline is reproducible and thread-safe;
+  * images stay float32 end-to-end (the reference silently upcasts to
+    float64 via np.append into float64 buffers, data_transforms.py:89,151);
+  * per-view loops and O(n^2) np.append accumulation are replaced by
+    vectorized whole-stack ops.
+
+Channel order is BGR(A) like the reference's cv2.imread (the color-jitter
+gray weights 0.114/0.587/0.299 assume BGR, data_transforms.py:345; the
+noise op converts BGR->RGB and back, :396-400).  The image loader produces
+BGR to match.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from swinvox_tpu.config import Config
+
+
+# ---------------------------------------------------------------- resize
+
+
+def resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Half-pixel-aligned bilinear resize (cv2.resize INTER_LINEAR semantics)
+    for HWC float arrays, vectorized with numpy gather."""
+    in_h, in_w = img.shape[:2]
+    if (in_h, in_w) == (out_h, out_w):
+        return img.astype(np.float32, copy=False)
+    ys = (np.arange(out_h, dtype=np.float32) + 0.5) * (in_h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float32) + 0.5) * (in_w / out_w) - 0.5
+    ys = np.clip(ys, 0.0, in_h - 1.0)
+    xs = np.clip(xs, 0.0, in_w - 1.0)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    wy = (ys - y0).astype(np.float32)[:, None, None]
+    wx = (xs - x0).astype(np.float32)[None, :, None]
+    img = img.astype(np.float32, copy=False)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+# ---------------------------------------------------------------- crops
+
+
+def _square_crop_bounds(
+    bbox: Sequence[float],
+    img_h: int,
+    img_w: int,
+    rng: Optional[np.random.Generator],
+) -> Tuple[int, int, int, int]:
+    """Square crop around a normalized bbox; jittered when rng is given
+    (reference data_transforms.py:93-112 / 187-208)."""
+    x0, y0, x1, y1 = (
+        bbox[0] * img_w,
+        bbox[1] * img_h,
+        bbox[2] * img_w,
+        bbox[3] * img_h,
+    )
+    bw, bh = x1 - x0, y1 - y0
+    cx, cy = (x0 + x1) * 0.5, (y0 + y1) * 0.5
+    size = max(bw, bh)
+    if rng is not None:
+        size = size * rng.uniform(0.8, 1.2)
+        left = int(cx - size * rng.uniform(0.4, 0.6))
+        right = int(cx + size * rng.uniform(0.4, 0.6))
+        top = int(cy - size * rng.uniform(0.4, 0.6))
+        bottom = int(cy + size * rng.uniform(0.4, 0.6))
+    else:
+        left = int(cx - size * 0.5)
+        right = int(cx + size * 0.5)
+        top = int(cy - size * 0.5)
+        bottom = int(cy + size * 0.5)
+    return left, right, top, bottom
+
+
+def _crop_with_edge_pad(
+    img: np.ndarray, left: int, right: int, top: int, bottom: int
+) -> np.ndarray:
+    """Crop [top:bottom+1, left:right+1] with edge padding where the window
+    leaves the image (reference data_transforms.py:114-135)."""
+    img_h, img_w = img.shape[:2]
+    pad_l = -left if left < 0 else 0
+    left = max(left, 0)
+    pad_r = right - img_w + 1 if right >= img_w else 0
+    right = min(right, img_w - 1)
+    pad_t = -top if top < 0 else 0
+    top = max(top, 0)
+    pad_b = bottom - img_h + 1 if bottom >= img_h else 0
+    bottom = min(bottom, img_h - 1)
+    out = img[top : bottom + 1, left : right + 1]
+    if pad_l or pad_r or pad_t or pad_b:
+        out = np.pad(out, ((pad_t, pad_b), (pad_l, pad_r), (0, 0)), mode="edge")
+    return out
+
+
+def crop_images(
+    images: np.ndarray,
+    img_size: Tuple[int, int],
+    crop_size: Tuple[int, int],
+    bounding_box: Optional[Sequence[float]] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """CenterCrop (rng=None) / RandomCrop (rng given) for a stack [N,H,W,C].
+
+    Without a bbox: take the center crop_size window (or the whole image if
+    smaller) and resize to img_size.  With a bbox: square crop around it
+    (jittered for RandomCrop) with edge padding, then resize.
+    """
+    out_h, out_w = img_size
+    crop_h, crop_w = crop_size
+    outs = []
+    for img in images:
+        ih, iw = img.shape[:2]
+        if bounding_box is not None:
+            l, r, t, b = _square_crop_bounds(bounding_box, ih, iw, rng)
+            window = _crop_with_edge_pad(img, l, r, t, b)
+        else:
+            if ih > crop_h and iw > crop_w:
+                t = (ih - crop_h) // 2
+                l = (iw - crop_w) // 2
+                window = img[t : t + crop_h, l : l + crop_w]
+            else:
+                window = img
+        outs.append(resize_bilinear_np(window, out_h, out_w))
+    return np.stack(outs).astype(np.float32)
+
+
+# ---------------------------------------------------------- background
+
+
+def random_background(
+    images: np.ndarray,
+    color_range: Sequence[Sequence[int]],
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Composite a random solid color where alpha == 0; 4ch -> 3ch.
+
+    No-op for 3-channel input (reference data_transforms.py:429-430).
+    The color is drawn once and shared across views (:433-435).
+    """
+    if images.shape[-1] != 4:
+        return images
+    color = np.array(
+        [rng.integers(lo, hi + 1) for lo, hi in color_range], np.float32
+    ) / 255.0
+    alpha = (images[..., 3:4] == 0).astype(np.float32)
+    rgb = images[..., :3]
+    return (alpha * color + (1.0 - alpha) * rgb).astype(np.float32)
+
+
+# ---------------------------------------------------------- color jitter
+
+
+def _bgr_to_gray(images: np.ndarray) -> np.ndarray:
+    """Luma with BGR weights, per reference data_transforms.py:330-347."""
+    return (
+        0.114 * images[..., 0] + 0.587 * images[..., 1] + 0.299 * images[..., 2]
+    )
+
+
+def color_jitter(
+    images: np.ndarray,
+    brightness: float,
+    contrast: float,
+    saturation: float,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Shared-parameter brightness/contrast/saturation in random order.
+
+    Matches the reference's blend math (data_transforms.py:277-328):
+      brightness: alpha*img ; saturation: alpha*img + (1-alpha)*gray ;
+      contrast: alpha*img + (1-alpha)*mean(gray_ch0_of_that_stage).
+    Parameters and order are drawn once for all views.
+    """
+    values = {
+        "brightness": 1.0 + rng.uniform(-brightness, brightness),
+        "contrast": 1.0 + rng.uniform(-contrast, contrast),
+        "saturation": 1.0 + rng.uniform(-saturation, saturation),
+    }
+    order = np.arange(3)
+    rng.shuffle(order)
+    names = ["brightness", "contrast", "saturation"]
+    out = images.astype(np.float32, copy=True)
+    for idx in order:
+        name = names[idx]
+        a = values[name]
+        if name == "brightness":
+            out = a * out
+        elif name == "saturation":
+            gs = _bgr_to_gray(out)[..., None]
+            out = a * out + (1.0 - a) * gs
+        else:  # contrast: blend toward the per-view mean gray level
+            gs_mean = _bgr_to_gray(out).mean(axis=(1, 2))  # [N]
+            out = a * out + (1.0 - a) * gs_mean[:, None, None, None]
+    return out.astype(np.float32)
+
+
+# ------------------------------------------------------------- noise
+
+
+_NOISE_EIGVALS = np.array([0.2175, 0.0188, 0.0045], np.float32)
+_NOISE_EIGVECS = np.array(
+    [
+        [-0.5675, 0.7192, 0.4009],
+        [-0.5808, -0.0045, -0.8140],
+        [-0.5836, -0.6948, 0.4203],
+    ],
+    np.float32,
+)
+
+
+def random_noise(
+    images: np.ndarray, noise_std: float, rng: np.random.Generator
+) -> np.ndarray:
+    """PCA-style RGB noise, shared across views (reference :376-401).
+
+    The reference computes the noise vector in RGB space and adds it after a
+    BGR->RGB flip, then flips back — equivalent to adding the reversed
+    vector in BGR space.
+    """
+    alpha = rng.normal(0.0, noise_std, size=3).astype(np.float32)
+    noise_rgb = np.sum(_NOISE_EIGVECS * alpha[None, :] * _NOISE_EIGVALS[None, :], axis=1)
+    return (images + noise_rgb[::-1][None, None, None, :]).astype(np.float32)
+
+
+# ------------------------------------------------------------ the rest
+
+
+def normalize(
+    images: np.ndarray, mean: Sequence[float], std: Sequence[float]
+) -> np.ndarray:
+    return (
+        (images - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    ).astype(np.float32)
+
+
+def random_flip(images: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Independent left-right flip per view (reference :252-260)."""
+    out = images.copy()
+    for i in range(out.shape[0]):
+        if rng.integers(0, 2):
+            out[i] = out[i, :, ::-1]
+    return out
+
+
+def random_permute_channels(
+    images: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """One shared random permutation of the 3 channels (reference :65-73)."""
+    perm = rng.permutation(3)
+    return images[..., perm]
+
+
+# ----------------------------------------------------------- pipelines
+
+
+def train_transform(
+    images: np.ndarray,
+    cfg: Config,
+    rng: np.random.Generator,
+    bounding_box: Optional[Sequence[float]] = None,
+) -> np.ndarray:
+    """The reference's 8-stage train pipeline (core/train.py:44-53)."""
+    img_size = (cfg.CONST.IMG_H, cfg.CONST.IMG_W)
+    crop_size = (cfg.CONST.CROP_IMG_H, cfg.CONST.CROP_IMG_W)
+    x = crop_images(images, img_size, crop_size, bounding_box, rng)
+    # RandomBackground must see the alpha channel; crop preserves channels
+    if images.shape[-1] == 4:
+        x = random_background(x, cfg.TRAIN.RANDOM_BG_COLOR_RANGE, rng)
+    x = color_jitter(
+        x, cfg.TRAIN.BRIGHTNESS, cfg.TRAIN.CONTRAST, cfg.TRAIN.SATURATION, rng
+    )
+    x = random_noise(x, cfg.TRAIN.NOISE_STD, rng)
+    x = normalize(x, cfg.DATASET.MEAN, cfg.DATASET.STD)
+    x = random_flip(x, rng)
+    x = random_permute_channels(x, rng)
+    return np.ascontiguousarray(x, np.float32)
+
+
+def eval_transform(
+    images: np.ndarray,
+    cfg: Config,
+    rng: Optional[np.random.Generator] = None,
+    bounding_box: Optional[Sequence[float]] = None,
+) -> np.ndarray:
+    """The reference's 4-stage val/test pipeline (core/train.py:54-59).
+
+    The eval RandomBackground color range is degenerate ((240,240) each) in
+    the reference config, so rng may be omitted; it is only used when the
+    range is non-degenerate.
+    """
+    img_size = (cfg.CONST.IMG_H, cfg.CONST.IMG_W)
+    crop_size = (cfg.CONST.CROP_IMG_H, cfg.CONST.CROP_IMG_W)
+    x = crop_images(images, img_size, crop_size, bounding_box, rng=None)
+    if images.shape[-1] == 4:
+        x = random_background(
+            x,
+            cfg.TEST.RANDOM_BG_COLOR_RANGE,
+            rng if rng is not None else np.random.default_rng(0),
+        )
+    x = normalize(x, cfg.DATASET.MEAN, cfg.DATASET.STD)
+    return np.ascontiguousarray(x, np.float32)

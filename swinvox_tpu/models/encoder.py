@@ -41,6 +41,10 @@ class Encoder(nn.Module):
     swin_drop_path_rate: float = 0.1
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    # backbone scale knobs (defaults = reference's ResNet-50 + Swin-Tiny;
+    # smaller settings give cheap CI variants and a model-family axis)
+    swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
+    resnet_stage_depths: Tuple[int, int, int] = (3, 4, 6)
 
     @nn.compact
     def __call__(self, rendering_images: jax.Array, train: bool) -> jax.Array:
@@ -48,12 +52,17 @@ class Encoder(nn.Module):
         img = rendering_images.reshape(b * n_views, h, w, c).astype(self.dtype)
 
         # ---- ResNet branch ------------------------------------------------
-        rf = ResNet50Trunk(dtype=self.dtype, name="resnet")(img, train)
+        rf = ResNet50Trunk(
+            dtype=self.dtype,
+            stage_depths=self.resnet_stage_depths,
+            name="resnet",
+        )(img, train)
         rf = Conv(256, (1, 1), dtype=self.dtype, name="resnet_reduce")(rf)
         rf = avg_pool(rf, 2)  # [BN, 7, 7, 256]
 
         # ---- Swin branch --------------------------------------------------
         all_stages = SwinTiny(
+            depths=self.swin_depths,
             drop_path_rate=self.swin_drop_path_rate,
             dtype=self.dtype,
             use_pallas=self.use_pallas,

@@ -231,15 +231,21 @@ class Dense(nn.Module):
 
 
 def max_pool(x: jax.Array, window: int, stride: Optional[int] = None) -> jax.Array:
-    """Max pool over all spatial dims of NHWC/NDHWC input."""
+    """Max pool over all spatial dims of NHWC/NDHWC input.
+
+    Init values must be Python scalars: array-valued reduce_window inits
+    break reverse-mode autodiff under jit (JAX 0.9 linearization).
+    """
     stride = stride or window
     rank = x.ndim - 2
     dims = (1, *(window,) * rank, 1)
     strides = (1, *(stride,) * rank, 1)
-    return jax.lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        jax.lax.max, dims, strides, "VALID"
+    init = (
+        -float("inf")
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else int(jnp.iinfo(x.dtype).min)
     )
+    return jax.lax.reduce_window(x, init, jax.lax.max, dims, strides, "VALID")
 
 
 def avg_pool(x: jax.Array, window: int, stride: Optional[int] = None) -> jax.Array:
@@ -249,7 +255,7 @@ def avg_pool(x: jax.Array, window: int, stride: Optional[int] = None) -> jax.Arr
     dims = (1, *(window,) * rank, 1)
     strides = (1, *(stride,) * rank, 1)
     summed = jax.lax.reduce_window(
-        x, jnp.asarray(0, x.dtype), jax.lax.add, dims, strides, "VALID"
+        x, 0.0, jax.lax.add, dims, strides, "VALID"
     )
     return summed / np.prod(dims)
 
@@ -263,7 +269,7 @@ def adaptive_avg_pool_7_to_2(x: jax.Array) -> jax.Array:
     dims = (1, 4, 4, 1)
     strides = (1, 3, 3, 1)
     summed = jax.lax.reduce_window(
-        x, jnp.asarray(0, x.dtype), jax.lax.add, dims, strides, "VALID"
+        x, 0.0, jax.lax.add, dims, strides, "VALID"
     )
     return summed / 16.0
 

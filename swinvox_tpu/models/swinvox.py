@@ -51,6 +51,8 @@ class SwinVoxModel(nn.Module):
     tconv_use_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
+    resnet_stage_depths: Tuple[int, int, int] = (3, 4, 6)
 
     @classmethod
     def from_config(cls, cfg: Config) -> "SwinVoxModel":
@@ -68,6 +70,8 @@ class SwinVoxModel(nn.Module):
             tconv_use_bias=net.TCONV_USE_BIAS,
             dtype=_dtype_from_str(net.COMPUTE_DTYPE),
             use_pallas=net.USE_PALLAS_WINDOW_ATTENTION,
+            swin_depths=tuple(net.SWIN_DEPTHS),
+            resnet_stage_depths=tuple(net.RESNET_STAGE_DEPTHS),
         )
 
     @nn.compact
@@ -87,6 +91,8 @@ class SwinVoxModel(nn.Module):
             att_spatial_downsample_ratio=self.att_spatial_downsample_ratio,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            swin_depths=self.swin_depths,
+            resnet_stage_depths=self.resnet_stage_depths,
             name="encoder",
         )(rendering_images, train)
 

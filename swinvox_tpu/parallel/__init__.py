@@ -1,0 +1,9 @@
+"""Device mesh construction and sharding rules (replaces DataParallel)."""
+
+from swinvox_tpu.parallel.mesh import (  # noqa: F401
+    build_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    shard_params,
+)

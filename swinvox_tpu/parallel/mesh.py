@@ -1,0 +1,95 @@
+"""Device mesh + sharding rules — the TPU-native replacement for the
+reference's single-process torch.nn.DataParallel (core/train.py:156-161).
+
+One jax.sharding.Mesh with axes ("data", "model"):
+  * the batch axis is sharded over "data"; gradients are reduced over ICI
+    by GSPMD automatically (params replicated -> XLA inserts the all-reduce),
+  * large dense parameters (the refiner's 8192x2048 bottleneck) are sharded
+    over "model" when the axis has size > 1 — a tensor-parallel path that
+    costs nothing at model_parallel=1,
+  * BatchNorm statistics are computed over the GLOBAL batch (XLA partitions
+    the mean over the sharded axis), which is strictly better than
+    DataParallel's per-replica stats.
+
+The same code path serves 1 chip, an 8-chip v5e host, or a pod slice; no
+separate "distributed backend" exists, by design.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from swinvox_tpu.config import Config
+
+# param-tree path substrings -> PartitionSpec for the "model" axis.
+# Kernel layout for Dense is (in, out): shard the big refiner bottleneck
+# column-wise (fc1) and row-wise (fc2) so the pair needs one all-reduce.
+_TP_RULES = (
+    (("refiner", "fc1", "kernel"), P(None, "model")),
+    (("refiner", "fc1", "bias"), P("model")),
+    (("refiner", "fc2", "kernel"), P("model", None)),
+)
+
+
+def build_mesh(
+    cfg: Optional[Config] = None,
+    devices: Optional[Sequence[Any]] = None,
+    batch_size: Optional[int] = None,
+) -> Mesh:
+    """Build the (data, model) mesh.
+
+    When batch_size is given, the data axis is clamped to the largest value
+    that divides the batch (unused devices are left off the mesh) so small
+    batches still run — the analogue of DataParallel silently using fewer
+    GPUs than visible.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = 1 if cfg is None else max(1, cfg.PARALLEL.MODEL_PARALLEL)
+    data = n // model
+    if cfg is not None and cfg.PARALLEL.DATA_PARALLEL > 0:
+        data = cfg.PARALLEL.DATA_PARALLEL
+    if batch_size is not None:
+        while data > 1 and batch_size % data != 0:
+            data -= 1
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_spec(path: tuple, mesh: Mesh) -> P:
+    if mesh.shape["model"] > 1:
+        names = tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path)
+        for rule_names, spec in _TP_RULES:
+            if all(any(r == n for n in names) for r in rule_names):
+                return spec
+    return P()
+
+
+def shard_params(tree: Any, mesh: Mesh) -> Any:
+    """device_put every leaf with its sharding rule (replicated by default,
+    tensor-parallel for matching rules when the model axis is real)."""
+    def place(path, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, _param_spec(path, mesh)))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """device_put host arrays with the batch axis sharded over 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,90 @@
+"""Checkpoint save/restore.
+
+Keeps the reference's checkpoint contract (core/train.py:358-371): a
+best/every-SAVE_FREQ policy, `checkpoint-best` for new best IoU, payload
+keyed by the four module groups plus epoch/best bookkeeping — serialized
+with flax msgpack instead of torch.save.  Unlike the reference (which drops
+optimizer/scheduler state on resume, core/train.py:174-186), the full
+optimizer state is saved and restored; set restore_optimizer=False for
+reference-faithful resume.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from swinvox_tpu.train.state import TrainState
+
+log = logging.getLogger(__name__)
+
+
+def save_checkpoint(
+    path: str,
+    state: TrainState,
+    epoch_idx: int,
+    best_iou: float,
+    best_epoch: int,
+) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_states": jax.device_get(state.opt_states),
+        "step": int(jax.device_get(state.step)),
+    }
+    meta = {
+        "epoch_idx": int(epoch_idx),
+        "best_iou": float(best_iou),
+        "best_epoch": int(best_epoch),
+    }
+    blob = serialization.msgpack_serialize(
+        {"meta": meta, "state": serialization.to_state_dict(payload)}
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    log.info("Saved checkpoint to %s (%.1f MB)", path, len(blob) / 1e6)
+
+
+def load_checkpoint(
+    path: str,
+    state: TrainState,
+    restore_optimizer: bool = True,
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """Restore into an existing (shape-matching) TrainState template."""
+    with open(path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    meta = blob["meta"]
+    # the template must keep its real pytree structure (optax NamedTuples),
+    # so from_state_dict can rebuild it from the raw msgpack dicts
+    template = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_states": jax.device_get(state.opt_states),
+        "step": int(jax.device_get(state.step)),
+    }
+    restored = serialization.from_state_dict(template, blob["state"])
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_states=restored["opt_states"]
+        if restore_optimizer
+        else state.opt_states,
+        step=np.asarray(restored["step"], np.int32),
+    )
+    log.info(
+        "Restored checkpoint %s: epoch %d, best IoU %.4f @ epoch %d",
+        path,
+        meta["epoch_idx"],
+        meta["best_iou"],
+        meta["best_epoch"],
+    )
+    return new_state, meta

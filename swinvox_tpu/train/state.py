@@ -1,0 +1,82 @@
+"""Train state: parameters, BN statistics, per-module optimizer states.
+
+The parameter tree keeps the reference's four module groups
+(encoder/decoder/merger/refiner) as top-level keys, so per-module
+optimizers, gated stepping, and the 4-group checkpoint layout
+(reference core/train.py:358-369) all map 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from swinvox_tpu.config import Config
+from swinvox_tpu.models import SwinVoxModel
+from swinvox_tpu.train.optim import MODULE_NAMES, build_optimizers
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_states: Dict[str, optax.OptState]
+    step: jax.Array  # int32 scalar
+
+    def n_params(self) -> Dict[str, int]:
+        import numpy as np
+
+        return {
+            name: sum(
+                int(np.prod(x.shape))
+                for x in jax.tree.leaves(self.params[name])
+            )
+            for name in self.params
+        }
+
+
+def create_train_state(
+    cfg: Config,
+    rng: jax.Array,
+    steps_per_epoch: int = 1,
+    n_views: int | None = None,
+    image_size: Tuple[int, int] | None = None,
+) -> Tuple[SwinVoxModel, TrainState, Dict[str, optax.GradientTransformation]]:
+    """Build the model, initialize variables, and set up the optimizers.
+
+    Init always runs with merger+refiner enabled so the parameter tree is
+    stable across the reference's epoch-gated enabling
+    (core/train.py:243,252).
+    """
+    model = SwinVoxModel.from_config(cfg)
+    n_views = n_views or cfg.CONST.N_VIEWS_RENDERING
+    h, w = image_size or (cfg.CONST.IMG_H, cfg.CONST.IMG_W)
+    sample = jnp.zeros((1, n_views, h, w, 3), jnp.float32)
+
+    params_rng, dropout_rng = jax.random.split(rng)
+    variables = jax.jit(
+        lambda k: model.init(
+            {"params": k, "dropout": dropout_rng},
+            sample,
+            train=False,
+            enable_merger=True,
+            enable_refiner=True,
+        )
+    )(params_rng)
+
+    optimizers = build_optimizers(cfg, steps_per_epoch)
+    params = variables["params"]
+    opt_states = {
+        name: optimizers[name].init(params[name]) for name in MODULE_NAMES
+    }
+    state = TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_states=opt_states,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state, optimizers

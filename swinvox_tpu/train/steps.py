@@ -1,0 +1,159 @@
+"""Jitted train/eval steps — the whole reference hot loop as one XLA program.
+
+The reference's batch loop (core/train.py:216-314) does: host->device copy,
+clamp, autocast forward through 4 modules, BCE losses, scaled backward,
+per-module unscale + clip + step.  Here the forward, loss, backward, and all
+four optimizer updates compile into a single jitted function; under a mesh
+the batch is sharded over the "data" axis and GSPMD inserts the gradient
+all-reduce.  bfloat16 makes the GradScaler machinery unnecessary.
+
+Merger/refiner epoch gating (core/train.py:243-261, 292-295) is a static
+argument: flipping it recompiles once at the gate epoch, and the skipped
+module's optimizer state and weights stay EXACTLY untouched, like the
+reference's skipped scaler.step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from swinvox_tpu.models import SwinVoxModel
+from swinvox_tpu.ops.losses import bce_with_logits, voxel_fscore, voxel_iou
+from swinvox_tpu.train.optim import MODULE_NAMES
+from swinvox_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model: SwinVoxModel,
+    optimizers: Dict[str, optax.GradientTransformation],
+    donate: bool = True,
+) -> Callable:
+    """Returns train_step(state, images, volumes, rng, enable_merger,
+    enable_refiner) -> (state, metrics)."""
+
+    def train_step(
+        state: TrainState,
+        images: jax.Array,  # [B, N, H, W, 3] float32
+        volumes: jax.Array,  # [B, D, H, W] float32 {0,1}
+        rng: jax.Array,
+        enable_merger: bool,
+        enable_refiner: bool,
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        images = jnp.clip(images, -1.0, 1.0)
+        volumes = jnp.clip(volumes, 0.0, 1.0)
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                enable_merger=enable_merger,
+                enable_refiner=enable_refiner,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            encoder_loss = bce_with_logits(out["merged_volumes"], volumes)
+            if enable_refiner:
+                refiner_loss = bce_with_logits(out["refined_volumes"], volumes)
+                total = encoder_loss + refiner_loss
+            else:
+                refiner_loss = encoder_loss
+                total = encoder_loss
+            return total, (encoder_loss, refiner_loss, mutated["batch_stats"])
+
+        grads, (encoder_loss, refiner_loss, new_batch_stats) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        active = {
+            "encoder": True,
+            "decoder": True,
+            "merger": enable_merger and model.use_merger,
+            "refiner": enable_refiner and model.use_refiner,
+        }
+        new_params = dict(state.params)
+        new_opt_states = dict(state.opt_states)
+        for name in MODULE_NAMES:
+            if not active[name]:
+                continue  # exactly like the reference's skipped solver.step
+            updates, new_opt_states[name] = optimizers[name].update(
+                grads[name], state.opt_states[name], state.params[name]
+            )
+            new_params[name] = optax.apply_updates(
+                state.params[name], updates
+            )
+
+        metrics = {
+            "encoder_loss": encoder_loss,
+            "refiner_loss": refiner_loss,
+            "total_loss": encoder_loss
+            + (refiner_loss if enable_refiner else 0.0),
+        }
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_states=new_opt_states,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return jax.jit(
+        train_step,
+        static_argnames=("enable_merger", "enable_refiner"),
+        donate_argnames=("state",) if donate else (),
+    )
+
+
+def make_eval_step(
+    model: SwinVoxModel,
+    thresholds: Tuple[float, ...] = (0.2, 0.3, 0.4, 0.5),
+) -> Callable:
+    """Returns eval_step(params, batch_stats, images, volumes,
+    enable_merger, enable_refiner) -> per-sample metrics.
+
+    Matches reference core/test.py:114-164: losses x10, sigmoid, binarize
+    at each threshold, IoU with the union-0 edge case, F-score eps=1e-8.
+    """
+
+    def eval_step(
+        params,
+        batch_stats,
+        images: jax.Array,
+        volumes: jax.Array,
+        enable_merger: bool,
+        enable_refiner: bool,
+    ) -> Dict[str, jax.Array]:
+        images = jnp.clip(images, -1.0, 1.0)
+        volumes = jnp.clip(volumes, 0.0, 1.0)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=False,
+            enable_merger=enable_merger,
+            enable_refiner=enable_refiner,
+        )
+        encoder_loss = bce_with_logits(out["merged_volumes"], volumes) * 10.0
+        if enable_refiner:
+            final = out["refined_volumes"]
+            refiner_loss = bce_with_logits(final, volumes) * 10.0
+        else:
+            final = out["merged_volumes"]
+            refiner_loss = encoder_loss
+        probs = jax.nn.sigmoid(final.astype(jnp.float32))
+        return {
+            "encoder_loss": encoder_loss,
+            "refiner_loss": refiner_loss,
+            "iou": voxel_iou(probs, volumes, thresholds),  # [B, T]
+            "fscore": voxel_fscore(probs, volumes, thresholds),  # [B, T]
+            "probs": probs,
+        }
+
+    return jax.jit(
+        eval_step, static_argnames=("enable_merger", "enable_refiner")
+    )

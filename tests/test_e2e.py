@@ -1,0 +1,151 @@
+"""End-to-end tests on the synthetic fixture: CLI -> trainer -> evaluator ->
+checkpoint -> resume, with a Nano model variant to keep CPU compiles cheap."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from swinvox_tpu.data.synthetic import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def fixture_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shapenet_e2e")
+    cfg = generate_dataset(str(root), n_samples_per_split=(4, 2, 2), n_views=3)
+    # Nano variant + cheap settings for CPU
+    cfg.NETWORK.COMPUTE_DTYPE = "float32"
+    cfg.NETWORK.USE_PALLAS_WINDOW_ATTENTION = False
+    cfg.NETWORK.USE_SWIN_T_MULTI_STAGE = False
+    cfg.NETWORK.SWIN_T_STAGES = (3,)
+    cfg.NETWORK.USE_CROSS_VIEW_ATTENTION = False
+    cfg.NETWORK.SWIN_DEPTHS = (1, 1, 1, 1)
+    cfg.NETWORK.RESNET_STAGE_DEPTHS = (1, 1, 1)
+    cfg.CONST.BATCH_SIZE = 2
+    cfg.CONST.N_VIEWS_RENDERING = 2
+    cfg.CONST.NUM_WORKER = 2
+    cfg.TRAIN.NUM_EPOCHS = 1
+    cfg.TRAIN.SAVE_FREQ = 1
+    return cfg
+
+
+def test_train_eval_checkpoint_resume(fixture_cfg, tmp_path):
+    import copy
+
+    from swinvox_tpu.train.trainer import test_net, train_net
+
+    cfg = copy.deepcopy(fixture_cfg)
+    cfg.DIR.OUT_PATH = str(tmp_path / "out")
+
+    best_iou = train_net(cfg)
+    assert best_iou >= 0.0
+
+    # a checkpoint must exist (SAVE_FREQ=1 or new-best)
+    run_dirs = os.listdir(cfg.DIR.OUT_PATH)
+    assert len(run_dirs) == 1
+    ckpt_dir = os.path.join(cfg.DIR.OUT_PATH, run_dirs[0], "checkpoints")
+    ckpts = os.listdir(ckpt_dir)
+    assert "checkpoint-best.ckpt" in ckpts
+
+    # metrics were logged
+    logs = os.path.join(cfg.DIR.OUT_PATH, run_dirs[0], "logs")
+    with open(os.path.join(logs, "train.jsonl")) as f:
+        tags = {json.loads(line)["tag"] for line in f}
+    assert "EncoderDecoder/BatchLoss" in tags
+
+    # standalone test path with the checkpoint
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.CONST.WEIGHTS = os.path.join(ckpt_dir, "checkpoint-best.ckpt")
+    iou = test_net(cfg2)
+    assert 0.0 <= iou <= 1.0
+
+    # resume training from the checkpoint (epoch bookkeeping restored)
+    cfg3 = copy.deepcopy(cfg)
+    cfg3.CONST.WEIGHTS = os.path.join(ckpt_dir, "checkpoint-best.ckpt")
+    cfg3.TRAIN.RESUME_TRAIN = True
+    cfg3.TRAIN.NUM_EPOCHS = 1  # epoch 0 already done -> no more epochs
+    best2 = train_net(cfg3)
+    assert best2 >= -1.0
+
+
+def test_checkpoint_roundtrip_exact(fixture_cfg, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from swinvox_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from swinvox_tpu.train.state import create_train_state
+
+    cfg = fixture_cfg
+    model, state, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, state, epoch_idx=3, best_iou=0.55, best_epoch=2)
+
+    # perturb, then restore into the perturbed template
+    perturbed = state.replace(
+        params=jax.tree.map(lambda x: x + 1.0, state.params)
+    )
+    restored, meta = load_checkpoint(path, perturbed)
+    assert meta == {"epoch_idx": 3, "best_iou": 0.55, "best_epoch": 2}
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params,
+        state.params,
+    )
+
+
+def test_cli_config_plumbing(fixture_cfg, tmp_path):
+    from swinvox_tpu.cli.runner import build_config, get_args_from_command_line
+
+    args = get_args_from_command_line(
+        [
+            "--batch-size", "16",
+            "--epoch", "7",
+            "--n-views", "4",
+            "--out", str(tmp_path),
+            "--set", "NETWORK.USE_MERGER=false",
+            "--set", "TRAIN.GAMMA=0.5",
+        ]
+    )
+    cfg = build_config(args)
+    assert cfg.CONST.BATCH_SIZE == 16
+    assert cfg.TRAIN.NUM_EPOCHS == 7
+    assert cfg.CONST.N_VIEWS_RENDERING == 4
+    assert cfg.NETWORK.USE_MERGER is False
+    assert cfg.TRAIN.GAMMA == 0.5
+
+    # --weights without --test flips RESUME_TRAIN (reference runner.py:68-71)
+    args2 = get_args_from_command_line(["--weights", "/tmp/w.ckpt"])
+    cfg2 = build_config(args2)
+    assert cfg2.TRAIN.RESUME_TRAIN is True
+    args3 = get_args_from_command_line(["--test", "--weights", "/tmp/w.ckpt"])
+    cfg3 = build_config(args3)
+    assert cfg3.TRAIN.RESUME_TRAIN is False
+
+
+def test_tuner_prunes_and_reports(tmp_path):
+    """Tuner protocol with a stub objective (no real training)."""
+    from swinvox_tpu.config import default_config
+    from swinvox_tpu.train.tune import tune
+
+    cfg = default_config()
+    cfg.DIR.OUT_PATH = str(tmp_path)
+
+    calls = []
+
+    def fake_objective(trial_cfg, n_epochs, report):
+        calls.append(trial_cfg.CONST.BATCH_SIZE)
+        best = -1.0
+        for epoch in range(n_epochs):
+            iou = 0.1 * (1 + epoch) * (1.0 if trial_cfg.CONST.BATCH_SIZE == 64 else 0.4)
+            best = max(best, iou)
+            if report(epoch, iou):
+                break
+        return best
+
+    result = tune(cfg, n_trials=4, n_epochs=3, objective=fake_objective, seed=1)
+    assert len(result["trials"]) == 4
+    assert result["best_value"] > 0
+    assert os.path.exists(os.path.join(str(tmp_path), "config_best.json"))
+    states = {t["state"] for t in result["trials"]}
+    assert "COMPLETE" in states

@@ -1,0 +1,161 @@
+"""Training infrastructure tests: schedules, gated stepping, learning,
+and multi-device mesh sharding (8 virtual CPU devices via conftest).
+
+Jit compiles dominate runtime on CPU, so the tiny-model state is a
+module-scoped fixture and tests are grouped to share compiled steps.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swinvox_tpu.config import default_config
+from swinvox_tpu.models import SwinVoxModel
+from swinvox_tpu.train.optim import MODULE_NAMES, build_optimizers, multistep_lr
+from swinvox_tpu.train.state import TrainState
+from swinvox_tpu.train.steps import make_eval_step, make_train_step
+
+
+def tiny_cfg():
+    cfg = default_config()
+    cfg.NETWORK.COMPUTE_DTYPE = "float32"
+    cfg.NETWORK.USE_PALLAS_WINDOW_ATTENTION = False
+    # shrink the encoder graph: single swin stage, no CVA (both covered by
+    # their own tests in test_models.py) — compile time matters here
+    cfg.NETWORK.USE_SWIN_T_MULTI_STAGE = False
+    cfg.NETWORK.SWIN_T_STAGES = (3,)
+    cfg.NETWORK.USE_CROSS_VIEW_ATTENTION = False
+    for m in ("ENCODER", "DECODER", "REFINER", "MERGER"):
+        setattr(cfg.TRAIN, f"{m}_LEARNING_RATE", 3e-3)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = dataclasses.replace(
+        SwinVoxModel.from_config(cfg),
+        swin_depths=(1, 1, 1, 1),
+        resnet_stage_depths=(1, 1, 1),
+    )
+    sample = jnp.zeros((1, 2, 224, 224, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k: model.init(
+            {"params": k, "dropout": jax.random.PRNGKey(9)}, sample, train=False
+        )
+    )(jax.random.PRNGKey(0))
+    optimizers = build_optimizers(cfg, steps_per_epoch=10)
+    params = variables["params"]
+    state = TrainState(
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_states={n: optimizers[n].init(params[n]) for n in MODULE_NAMES},
+        step=jnp.zeros((), jnp.int32),
+    )
+    train_step = make_train_step(model, optimizers, donate=False)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(-1, 1, (8, 2, 224, 224, 3)).astype(np.float32)
+    )
+    vols = jnp.asarray((rng.random((8, 32, 32, 32)) > 0.7).astype(np.float32))
+    return cfg, model, state, optimizers, train_step, images, vols
+
+
+def test_multistep_lr_schedule():
+    sched = multistep_lr(1e-3, milestones=(2, 5), gamma=0.5, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(19)) == pytest.approx(1e-3)
+    assert float(sched(20)) == pytest.approx(5e-4)  # epoch 2 boundary
+    assert float(sched(50)) == pytest.approx(2.5e-4)  # epoch 5 boundary
+
+
+def test_gating_learning_and_eval(setup):
+    cfg, model, state, optimizers, train_step, images, vols = setup
+
+    # ---- gated: merger+refiner disabled -> params stay IDENTICAL --------
+    merger_before = jax.tree.map(lambda x: x.copy(), state.params["merger"])
+    s1, m1 = train_step(
+        state, images, vols, jax.random.PRNGKey(0),
+        enable_merger=False, enable_refiner=False,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s1.params["merger"], merger_before,
+    )
+    moved = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: bool(jnp.any(a != b)),
+            s1.params["encoder"], state.params["encoder"],
+        )
+    )
+    assert any(moved)
+    assert float(m1["refiner_loss"]) == pytest.approx(float(m1["encoder_loss"]))
+    assert float(m1["total_loss"]) == pytest.approx(float(m1["encoder_loss"]))
+
+    # ---- full training on one fixed batch: loss must decrease ----------
+    s = s1
+    first = None
+    for i in range(6):
+        s, m = train_step(
+            s, images, vols, jax.random.PRNGKey(0),
+            enable_merger=True, enable_refiner=True,
+        )
+        if first is None:
+            first = float(m["total_loss"])
+    assert float(m["total_loss"]) < first
+    assert int(s.step) == 7
+
+    # ---- eval metrics ----------------------------------------------------
+    eval_step = make_eval_step(model)
+    out = eval_step(
+        s.params, s.batch_stats, images[:2], vols[:2],
+        enable_merger=True, enable_refiner=True,
+    )
+    assert out["iou"].shape == (2, 4)
+    assert out["fscore"].shape == (2, 4)
+    assert float(out["iou"].min()) >= 0.0 and float(out["iou"].max()) <= 1.0
+    assert float(out["encoder_loss"]) > 0.0
+
+
+def test_voxel_iou_edge_cases():
+    from swinvox_tpu.ops.losses import voxel_iou
+
+    empty = jnp.zeros((1, 4, 4, 4))
+    # empty prediction + empty gt -> IoU 1.0 (reference core/test.py:153)
+    iou = voxel_iou(empty, empty, thresholds=(0.5,))
+    assert float(iou[0, 0]) == 1.0
+    # empty gt, full prediction -> IoU 0
+    iou2 = voxel_iou(jnp.ones((1, 4, 4, 4)), empty, thresholds=(0.5,))
+    assert float(iou2[0, 0]) == 0.0
+
+
+def test_mesh_data_parallel_equivalence(setup):
+    """A sharded 8-device train step must match the single-device result."""
+    from swinvox_tpu.parallel import build_mesh, replicated, shard_batch, shard_params
+
+    cfg, model, state, optimizers, train_step, images, vols = setup
+
+    _, m_single = train_step(
+        state, images, vols, jax.random.PRNGKey(0),
+        enable_merger=True, enable_refiner=True,
+    )
+
+    mesh = build_mesh(cfg, devices=jax.devices()[:8])
+    sharded_state = state.replace(
+        params=shard_params(state.params, mesh),
+        batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+        opt_states=shard_params(state.opt_states, mesh),
+        step=jax.device_put(state.step, replicated(mesh)),
+    )
+    batch = shard_batch({"images": images, "volumes": vols}, mesh)
+    with mesh:
+        _, m_sharded = train_step(
+            sharded_state, batch["images"], batch["volumes"],
+            jax.random.PRNGKey(0), enable_merger=True, enable_refiner=True,
+        )
+    assert float(m_sharded["total_loss"]) == pytest.approx(
+        float(m_single["total_loss"]), rel=0.05
+    )
