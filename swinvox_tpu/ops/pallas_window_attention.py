@@ -1,0 +1,169 @@
+"""Fused Pallas TPU kernel for Swin windowed attention.
+
+One kernel fuses the whole attention core — QK^T, relative-position bias,
+shifted-window mask, softmax, and the probs@V contraction — over a block of
+windows at a time, keeping the [T, T] score matrices in VMEM only (the XLA
+path materializes them in HBM between fusions).  T = window^2 = 49 tokens.
+
+Layout: q/k/v [nW, heads, T, D] with windows blocked along the grid;
+heads ride inside the block and are folded into the batch dimension of the
+batched dot_general (Mosaic supports batched matmuls natively).  The
+shifted-window mask is [nW_per_image, T, T] and is indexed cyclically via
+the BlockSpec index map, so it is never tiled out to the full window count
+in HBM.
+
+Numerics: scores/softmax in float32 regardless of input dtype; output cast
+back to the input dtype.  Verified bit-comparable (<=1e-2 bf16 / <=1e-5 f32)
+against window_attention_xla in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    bw, heads, t, d = q_ref.shape
+    q = q_ref[:].reshape(bw * heads, t, d)
+    k = k_ref[:].reshape(bw * heads, t, d)
+    v = v_ref[:].reshape(bw * heads, t, d)
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [bw*heads, t, t]
+    scores = scores * scale
+    bias = bias_ref[:].astype(jnp.float32)  # [heads, t, t]
+    scores = scores.reshape(bw, heads, t, t) + bias[None]
+    scores = scores.reshape(bw * heads, t, t)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = out.reshape(bw, heads, t, d).astype(o_ref.dtype)
+
+
+def _attn_kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale):
+    bw, heads, t, d = q_ref.shape
+    q = q_ref[:].reshape(bw * heads, t, d)
+    k = k_ref[:].reshape(bw * heads, t, d)
+    v = v_ref[:].reshape(bw * heads, t, d)
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    bias = bias_ref[:].astype(jnp.float32)
+    mask = mask_ref[:].astype(jnp.float32)  # [bw, t, t]
+    scores = scores.reshape(bw, heads, t, t) + bias[None] + mask[:, None]
+    scores = scores.reshape(bw * heads, t, t)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = out.reshape(bw, heads, t, d).astype(o_ref.dtype)
+
+
+def _pick_block(
+    n_windows: int, nw_per_image: int, heads: int, t: int, d: int, itemsize: int
+) -> int:
+    """Largest window block <= 32 that divides n_windows (and nw_per_image
+    for masked attention) while fitting VMEM.
+
+    Accounts for Mosaic tiling: the last dim pads to 128 lanes (d=32 -> 128,
+    t=49 -> 128) and the second-to-last to the dtype's sublane multiple
+    (49 -> 56/64); in/out blocks are double-buffered by the pipeline.
+    """
+
+    def pad_sub(n: int, isz: int) -> int:
+        m = {4: 8, 2: 16, 1: 32}[isz]
+        return -(-n // m) * m
+
+    def pad_lane(n: int) -> int:
+        return -(-n // 128) * 128
+
+    budget = 8 * 1024 * 1024
+    for bw in (32, 16, 8, 4, 2, 1):
+        if n_windows % bw:
+            continue
+        if nw_per_image and nw_per_image % bw:
+            continue
+        # q, k, v, o blocks: [bw, heads, t, d], double-buffered
+        qkvo = 4 * 2 * bw * heads * pad_sub(t, itemsize) * pad_lane(d) * itemsize
+        # scores + probs intermediates: [bw*heads, t, t] f32
+        scores = 2 * bw * heads * pad_sub(t, 4) * pad_lane(t) * 4
+        bias_b = 2 * heads * pad_sub(t, 4) * pad_lane(t) * 4
+        mask_b = 2 * bw * pad_sub(t, 4) * pad_lane(t) * 4 if nw_per_image else 0
+        if qkvo + scores + bias_b + mask_b <= budget:
+            return bw
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _window_attention_pallas_impl(q, k, v, rel_bias, mask, scale, interpret):
+    nw, heads, t, d = q.shape
+    nw_per_image = 0 if mask is None else mask.shape[0]
+    bw = _pick_block(nw, nw_per_image, heads, t, d, q.dtype.itemsize)
+    grid = (nw // bw,)
+
+    qkv_spec = pl.BlockSpec(
+        (bw, heads, t, d), lambda j: (j, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_spec = pl.BlockSpec(
+        (heads, t, t), lambda j: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (bw, heads, t, d), lambda j: (j, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale),
+            grid=grid,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=interpret,
+        )(q, k, v, rel_bias)
+
+    blocks_per_image = nw_per_image // bw
+    mask_spec = pl.BlockSpec(
+        (bw, t, t),
+        lambda j: (j % blocks_per_image, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_masked, scale=scale),
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, rel_bias, mask)
+
+
+def window_attention_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_bias: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Same contract as window_attention_xla (see ops/window_attention.py)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _window_attention_pallas_impl(
+        q, k, v, rel_bias, mask, float(scale), interpret
+    )
