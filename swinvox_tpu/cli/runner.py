@@ -45,6 +45,8 @@ def get_args_from_command_line(argv=None):
     parser.add_argument("--set", dest="overrides", action="append", default=[],
                         metavar="KEY=VALUE",
                         help="dotted config override, e.g. NETWORK.USE_MERGER=false")
+    parser.add_argument("--profile", dest="profile", action="store_true",
+                        help="capture a jax.profiler trace of a few train steps")
     parser.add_argument("--dataset-root", dest="dataset_root", default=None,
                         help="root containing ShapeNetRendering/ ShapeNetVox32/ "
                         "and a taxonomy .json")
@@ -94,6 +96,8 @@ def build_config(args):
         cfg.CONST.WEIGHTS = args.weights
         if not args.test and not args.lr_find and not args.tune:
             cfg.TRAIN.RESUME_TRAIN = True
+    if args.profile:
+        cfg.DIR.PROFILE_DIR = os.path.join(cfg.DIR.OUT_PATH, "profile")
     if args.randomize:
         import time as _time
 

@@ -80,6 +80,9 @@ class ConstConfig:
 class DirConfig:
     OUT_PATH: str = "./output"
     RANDOM_BG_PATH: str = ""
+    # when non-empty, a jax.profiler trace of a few training steps is
+    # written here (TPU-native replacement for cudnn.benchmark+nvprof)
+    PROFILE_DIR: str = ""
 
 
 @dataclass

@@ -105,9 +105,28 @@ def read_header(fp: BinaryIO):
 
 
 def _decode_rle(raw: np.ndarray, n_voxels: int) -> np.ndarray:
-    """Expand <value, count> byte pairs into a flat bool array."""
+    """Expand <value, count> byte pairs into a flat bool array.
+
+    Uses the native C++ single-pass decoder when available (the data
+    pipeline decodes ~30k volumes per ShapeNet epoch), else numpy repeat.
+    """
     if raw.size % 2 != 0:
         raise IOError("binvox RLE payload has odd length")
+    from swinvox_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(n_voxels, np.uint8)
+        import ctypes
+
+        n = lib.voxcodec_decode(
+            raw.tobytes(), raw.size, out.ctypes.data_as(ctypes.c_void_p), n_voxels
+        )
+        if n != n_voxels:
+            raise IOError(
+                f"binvox RLE decoded {n} voxels, expected {n_voxels}"
+            )
+        return out.astype(bool)
     values, counts = raw[::2], raw[1::2]
     flat = np.repeat(values, counts).astype(bool)
     if flat.size != n_voxels:
@@ -202,6 +221,23 @@ def _encode_rle(flat: np.ndarray) -> bytes:
     flat = flat.astype(np.uint8)
     if flat.size == 0:
         return b""
+    from swinvox_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        flat = np.ascontiguousarray(flat)
+        # worst case: alternating values -> 2 bytes per voxel
+        out = np.empty(2 * flat.size, np.uint8)
+        n = lib.voxcodec_encode(
+            flat.ctypes.data_as(ctypes.c_void_p),
+            flat.size,
+            out.ctypes.data_as(ctypes.c_void_p),
+            out.size,
+        )
+        if n >= 0:
+            return out[:n].tobytes()
     # boundaries where the value changes
     change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
     starts = np.concatenate(([0], change))

@@ -152,6 +152,60 @@ def _window_attention_pallas_impl(q, k, v, rel_bias, mask, scale, interpret):
     )(q, k, v, rel_bias, mask)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _window_attention_pallas_vjp(q, k, v, rel_bias, mask, scale, interpret):
+    return _window_attention_pallas_impl(q, k, v, rel_bias, mask, scale, interpret)
+
+
+def _recompute_probs(q, k, rel_bias, mask, scale):
+    nw, heads, t, _ = q.shape
+    scores = (
+        jnp.einsum("whtd,whsd->whts", q, k, preferred_element_type=jnp.float32)
+        * scale
+    )
+    scores = scores + rel_bias[None].astype(jnp.float32)
+    if mask is not None:
+        nwpi = mask.shape[0]
+        scores = scores.reshape(nw // nwpi, nwpi, heads, t, t)
+        scores = scores + mask.astype(jnp.float32)[None, :, None]
+        scores = scores.reshape(nw, heads, t, t)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def _vjp_fwd(q, k, v, rel_bias, mask, scale, interpret):
+    out = _window_attention_pallas_impl(q, k, v, rel_bias, mask, scale, interpret)
+    return out, (q, k, v, rel_bias, mask)
+
+
+def _vjp_bwd(scale, interpret, residuals, g):
+    """Backward in plain XLA: T=49 attention recomputes cheaply.
+
+    softmax VJP: ds = p * (dp - sum(dp * p)); dq/dk pick up the scale; the
+    relative-position bias grad sums over windows; the mask is a constant.
+    """
+    q, k, v, rel_bias, mask = residuals
+    p = _recompute_probs(q, k, rel_bias, mask, scale)  # [nW, h, t, t] f32
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("whts,whtd->whsd", p, g32)
+    dp = jnp.einsum("whtd,whsd->whts", g32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("whts,whsd->whtd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("whts,whtd->whsd", ds, q.astype(jnp.float32)) * scale
+    dbias = jnp.sum(ds, axis=0)  # broadcast over windows
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        dbias.astype(rel_bias.dtype),
+        dmask,
+    )
+
+
+_window_attention_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
 def window_attention_pallas(
     q: jax.Array,
     k: jax.Array,
@@ -161,9 +215,13 @@ def window_attention_pallas(
     scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Same contract as window_attention_xla (see ops/window_attention.py)."""
+    """Same contract as window_attention_xla (see ops/window_attention.py).
+
+    Differentiable: the forward is the fused Pallas kernel; the backward is
+    an XLA recompute (flash-style — only q/k/v are saved, never the probs).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _window_attention_pallas_impl(
+    return _window_attention_pallas_vjp(
         q, k, v, rel_bias, mask, float(scale), interpret
     )

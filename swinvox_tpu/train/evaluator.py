@@ -42,6 +42,8 @@ def evaluate(
     enable_refiner: bool = True,
     metrics_logger=None,
     print_tables: bool = True,
+    render_dir: Optional[str] = None,
+    n_render: int = 3,
 ) -> float:
     thresholds = tuple(cfg.TEST.VOXEL_THRESH)
     eval_step = make_eval_step(model, thresholds)
@@ -53,6 +55,7 @@ def evaluate(
 
     # accumulate samples into fixed-shape batches for the jitted step
     pend_img, pend_vol, pend_tax = [], [], []
+    rendered = [0]  # first n_render samples -> PNG (reference test.py:179-187)
 
     def flush():
         if not pend_img:
@@ -76,6 +79,15 @@ def evaluate(
         for i, tid in enumerate(pend_tax):
             test_iou.setdefault(tid, []).append(iou[i])
             test_fscore.setdefault(tid, []).append(fscore[i])
+        if render_dir is not None and rendered[0] < n_render:
+            from swinvox_tpu.utils.visualization import get_volume_views
+
+            probs = np.asarray(out["probs"])[:n]
+            for i in range(min(n, n_render - rendered[0])):
+                idx = rendered[0]
+                get_volume_views(probs[i], render_dir, "GV", idx, epoch_idx)
+                get_volume_views(volumes[i], render_dir, "GT", idx, epoch_idx)
+                rendered[0] += 1
         pend_img.clear()
         pend_vol.clear()
         pend_tax.clear()

@@ -70,12 +70,40 @@ def create_train_state(
 
     optimizers = build_optimizers(cfg, steps_per_epoch)
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    if cfg.NETWORK.PRETRAINED_BACKBONE:
+        # Directory convention: resnet50.{pth,npz} / swin_tiny.{pth,npz}.
+        # The reference downloads these pretrained backbones but then
+        # re-initializes them (core/train.py:91-94); loading here is the
+        # "as-intended" mode.
+        import os
+
+        from swinvox_tpu.models.pretrained import (
+            apply_pretrained_backbone,
+            load_state_dict_file,
+        )
+
+        root = cfg.NETWORK.PRETRAINED_BACKBONE
+        def find(stem):
+            for ext in (".npz", ".pth", ".pt"):
+                p = os.path.join(root, stem + ext)
+                if os.path.exists(p):
+                    return load_state_dict_file(p)
+            return None
+
+        params, batch_stats = apply_pretrained_backbone(
+            params, batch_stats,
+            resnet_sd=find("resnet50"), swin_sd=find("swin_tiny"),
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        batch_stats = jax.tree.map(jnp.asarray, batch_stats)
     opt_states = {
         name: optimizers[name].init(params[name]) for name in MODULE_NAMES
     }
     state = TrainState(
         params=params,
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=batch_stats,
         opt_states=opt_states,
         step=jnp.zeros((), jnp.int32),
     )

@@ -94,7 +94,16 @@ def train_net(cfg: Config) -> float:
 
         train_loader.set_epoch(epoch_idx)
         t_end = time.time()
+        profiling = False
         for batch_idx, batch in enumerate(train_loader):
+            if cfg.DIR.PROFILE_DIR and epoch_idx == init_epoch:
+                if batch_idx == 2 and not profiling:
+                    jax.profiler.start_trace(cfg.DIR.PROFILE_DIR)
+                    profiling = True
+                elif batch_idx == 6 and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log.info("Wrote profiler trace to %s", cfg.DIR.PROFILE_DIR)
             data_time.update(time.time() - t_end)
             device_batch = shard_batch(
                 {"images": batch.images, "volumes": batch.volumes}, mesh
@@ -144,6 +153,7 @@ def train_net(cfg: Config) -> float:
             enable_merger=enable_merger,
             enable_refiner=enable_refiner,
             metrics_logger=val_writer,
+            render_dir=os.path.join(output_dir, "images"),
         )
 
         if (epoch_idx + 1) % cfg.TRAIN.SAVE_FREQ == 0 or iou > best_iou:

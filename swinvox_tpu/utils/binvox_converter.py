@@ -51,10 +51,13 @@ def voxelize_mesh(verts: np.ndarray, faces: np.ndarray, d: int = 32) -> np.ndarr
     tri = v[faces]  # [F, 3, 3]
     # For each (x, y) column, count crossings of triangles below each z.
     a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    # ray positions avoid exact triangle-seam hits (a ray on the shared
+    # diagonal of two triangles would count the crossing twice)
+    eps = 7.3e-4
     for xi in range(d):
-        px = xi + 0.5
+        px = xi + 0.5 + eps
         for yi in range(d):
-            py = yi + 0.5
+            py = yi + 0.5 + eps * 1.37
             # barycentric test in the xy plane
             d1 = (b[:, 0] - a[:, 0]) * (py - a[:, 1]) - (b[:, 1] - a[:, 1]) * (px - a[:, 0])
             d2 = (c[:, 0] - b[:, 0]) * (py - b[:, 1]) - (c[:, 1] - b[:, 1]) * (px - b[:, 0])
@@ -89,16 +92,19 @@ def convert(
 ) -> None:
     """OFF/mesh -> .binvox at resolution d, with the reference's axis fixup."""
     binary = binvox_binary or shutil.which("binvox")
+    model = None
     if binary:
-        subprocess.run(
-            [binary, "-d", str(d), "-cb", "-e", input_path], check=True
-        )
-        produced = os.path.splitext(input_path)[0] + ".binvox"
-        with open(produced, "rb") as f:
-            model = binvox.read_as_3d_array(f, fix_coords=True)
-        os.replace(produced, output_path) if produced != output_path else None
-        data = model.data
-    else:
+        try:
+            subprocess.run(
+                [binary, "-d", str(d), "-cb", "-e", input_path], check=True
+            )
+            produced = os.path.splitext(input_path)[0] + ".binvox"
+            with open(produced, "rb") as f:
+                model = binvox.read_as_3d_array(f, fix_coords=True)
+            data = model.data
+        except (OSError, subprocess.SubprocessError):
+            model = None  # fall through to the pure-Python voxelizer
+    if model is None:
         verts, faces = load_off(input_path)
         data = voxelize_mesh(verts, faces, d)
         model = binvox.Voxels(data, [d, d, d], [0.0, 0.0, 0.0], 1.0, "xyz")
