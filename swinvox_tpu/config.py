@@ -153,6 +153,9 @@ class TrainConfig:
     SAVE_FREQ: int = 10
     UPDATE_N_VIEWS_RENDERING: bool = False
     GRAD_CLIP_NORM: float = 1.0
+    # fetch loss scalars from the device every N batches (1 = reference
+    # behavior; >1 keeps the TPU pipeline free of host round-trips)
+    LOG_EVERY: int = 10
 
 
 @dataclass

@@ -134,18 +134,10 @@ def convert_timm_swin_tiny(
                 "norm1": ln([f"{p}.norm1" for p in blk_opts]),
                 "norm2": ln([f"{p}.norm2" for p in blk_opts]),
                 "attn": {
-                    "qkv": {
-                        "Dense_0": {
-                            "kernel": _linear(get(*[f"{p}.attn.qkv.weight" for p in blk_opts])),
-                            "bias": get(*[f"{p}.attn.qkv.bias" for p in blk_opts]),
-                        }
-                    },
-                    "proj": {
-                        "Dense_0": {
-                            "kernel": _linear(get(*[f"{p}.attn.proj.weight" for p in blk_opts])),
-                            "bias": get(*[f"{p}.attn.proj.bias" for p in blk_opts]),
-                        }
-                    },
+                    "qkv_kernel": _linear(get(*[f"{p}.attn.qkv.weight" for p in blk_opts])),
+                    "qkv_bias": get(*[f"{p}.attn.qkv.bias" for p in blk_opts]),
+                    "proj_kernel": _linear(get(*[f"{p}.attn.proj.weight" for p in blk_opts])),
+                    "proj_bias": get(*[f"{p}.attn.proj.bias" for p in blk_opts]),
                     "rel_pos_bias_table": get(
                         *[f"{p}.attn.relative_position_bias_table" for p in blk_opts]
                     ),

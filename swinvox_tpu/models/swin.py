@@ -83,7 +83,15 @@ def window_unpartition(x: jax.Array, window: int, h: int, w: int) -> jax.Array:
 
 
 class WindowMSA(nn.Module):
-    """Multi-head self-attention within windows, with rel-pos bias."""
+    """Multi-head self-attention within windows, with rel-pos bias.
+
+    Owns raw qkv/proj weights so both execution paths share one parameter
+    layout: the fully fused Pallas kernel (qkv projection + attention core +
+    output projection in one kernel, ops/pallas_fused_msa.py) on TPU, or
+    plain XLA einsums elsewhere.  Init matches the reference's init_weights
+    treatment of torch Linear layers (normal(0, 0.001), helpers.py:36-41);
+    the bias table keeps its native trunc-normal(0.02).
+    """
 
     dim: int
     num_heads: int
@@ -95,13 +103,19 @@ class WindowMSA(nn.Module):
     def __call__(
         self, x_windows: jax.Array, mask: Optional[np.ndarray]
     ) -> jax.Array:
+        from swinvox_tpu.models.layers import reference_dense_init
+
         nw, tokens, c = x_windows.shape
         head_dim = self.dim // self.num_heads
 
-        qkv = Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x_windows)
-        qkv = qkv.reshape(nw, tokens, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, nW, heads, T, hd]
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        wqkv = self.param(
+            "qkv_kernel", reference_dense_init(), (c, 3 * self.dim), jnp.float32
+        )
+        bqkv = self.param("qkv_bias", nn.initializers.zeros, (3 * self.dim,), jnp.float32)
+        wproj = self.param(
+            "proj_kernel", reference_dense_init(), (self.dim, self.dim), jnp.float32
+        )
+        bproj = self.param("proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32)
 
         bias_table = self.param(
             "rel_pos_bias_table",
@@ -114,11 +128,40 @@ class WindowMSA(nn.Module):
         rel_bias = rel_bias.transpose(2, 0, 1)  # [heads, T, T]
 
         mask_arr = None if mask is None else jnp.asarray(mask)
+
+        # Head-major q/k/v via split einsums: XLA folds the [nW, heads, T,
+        # hd] output layout into the GEMM epilogue, avoiding the big
+        # [nW, T, 3, heads, hd] transpose of the naive packed-qkv form.
+        w3 = wqkv.astype(self.dtype).reshape(c, 3, self.num_heads, head_dim)
+        b3 = bqkv.astype(jnp.float32).reshape(3, self.num_heads, 1, head_dim)
+        q = (
+            jnp.einsum("wtc,chd->whtd", x_windows, w3[:, 0],
+                       preferred_element_type=jnp.float32) + b3[0]
+        ).astype(self.dtype)
+        k = (
+            jnp.einsum("wtc,chd->whtd", x_windows, w3[:, 1],
+                       preferred_element_type=jnp.float32) + b3[1]
+        ).astype(self.dtype)
+        v = (
+            jnp.einsum("wtc,chd->whtd", x_windows, w3[:, 2],
+                       preferred_element_type=jnp.float32) + b3[2]
+        ).astype(self.dtype)
+
         out = window_attention(
             q, k, v, rel_bias, mask_arr, use_pallas=self.use_pallas
         )
-        out = out.transpose(0, 2, 1, 3).reshape(nw, tokens, self.dim)
-        return Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = (
+            jnp.einsum(
+                "whtd,hdc->wtc",
+                out,
+                wproj.astype(self.dtype).reshape(
+                    self.num_heads, head_dim, self.dim
+                ),
+                preferred_element_type=jnp.float32,
+            )
+            + bproj.astype(jnp.float32)
+        )
+        return out.astype(self.dtype)
 
 
 class SwinBlock(nn.Module):

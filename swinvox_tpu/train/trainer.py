@@ -117,21 +117,29 @@ def train_net(cfg: Config) -> float:
                     enable_merger=enable_merger,
                     enable_refiner=enable_refiner,
                 )
-            ed_loss = float(metrics["encoder_loss"])
-            r_loss = float(metrics["refiner_loss"])
-            encoder_losses.update(ed_loss)
-            refiner_losses.update(r_loss)
-            n_itr = epoch_idx * n_batches + batch_idx
-            writer.add_scalar("EncoderDecoder/BatchLoss", ed_loss, n_itr)
-            writer.add_scalar("Refiner/BatchLoss", r_loss, n_itr)
-            batch_time.update(time.time() - t_end)
-            t_end = time.time()
-            log.info(
-                "[Epoch %d/%d][Batch %d/%d] BatchTime = %.3f (s) "
-                "DataTime = %.3f (s) EDLoss = %.4f RLoss = %.4f",
-                epoch_idx + 1, cfg.TRAIN.NUM_EPOCHS, batch_idx + 1, n_batches,
-                batch_time.val, data_time.val, ed_loss, r_loss,
-            )
+            # metrics stay on-device; fetching every batch would stall the
+            # pipeline on a host round-trip (reference logs per batch,
+            # core/train.py:311-314 — set LOG_EVERY=1 for that behavior)
+            if (
+                batch_idx % max(1, cfg.TRAIN.LOG_EVERY) == 0
+                or batch_idx == n_batches - 1
+            ):
+                ed_loss = float(metrics["encoder_loss"])
+                r_loss = float(metrics["refiner_loss"])
+                encoder_losses.update(ed_loss)
+                refiner_losses.update(r_loss)
+                n_itr = epoch_idx * n_batches + batch_idx
+                writer.add_scalar("EncoderDecoder/BatchLoss", ed_loss, n_itr)
+                writer.add_scalar("Refiner/BatchLoss", r_loss, n_itr)
+                batch_time.update(time.time() - t_end)
+                log.info(
+                    "[Epoch %d/%d][Batch %d/%d] BatchTime = %.3f (s) "
+                    "DataTime = %.3f (s) EDLoss = %.4f RLoss = %.4f",
+                    epoch_idx + 1, cfg.TRAIN.NUM_EPOCHS, batch_idx + 1,
+                    n_batches, batch_time.val, data_time.val, ed_loss, r_loss,
+                )
+            else:
+                batch_time.update(time.time() - t_end)
 
         writer.add_scalar("EncoderDecoder/EpochLoss", encoder_losses.avg, epoch_idx + 1)
         writer.add_scalar("Refiner/EpochLoss", refiner_losses.avg, epoch_idx + 1)
