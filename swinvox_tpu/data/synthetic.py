@@ -85,6 +85,114 @@ def render_view(vol: np.ndarray, angle: float, size: int = 137) -> np.ndarray:
     return (np.clip(big, 0, 1) * 255).astype(np.uint8)
 
 
+def generate_pix3d_dataset(
+    root: str, n_samples: int = 4, seed: int = 0
+) -> "Config":
+    """Write a Pix3D-format fixture: img/<cat>/<name>.png, pix3d.json
+    annotations with bboxes, model/<cat>/<model>/model.binvox."""
+    from PIL import Image
+
+    from swinvox_tpu.config import default_config
+
+    rng = np.random.default_rng(seed)
+    annotations = []
+    taxonomy = [{"taxonomy_name": "chair", "train": [], "test": []}]
+    for i in range(n_samples):
+        name = f"{i:04d}"
+        vol = _solid(rng)
+        model_name = f"IKEA_{i:04d}"
+        vpath = os.path.join(root, f"model/chair/{model_name}/model.binvox")
+        os.makedirs(os.path.dirname(vpath), exist_ok=True)
+        with open(vpath, "wb") as f:
+            binvox.write(
+                binvox.Voxels(vol, [32, 32, 32], [0.0, 0.0, 0.0], 1.0, "xyz"), f
+            )
+        img = render_view(vol, rng.uniform(0, 2 * np.pi), size=240)[..., :3]
+        ipath = os.path.join(root, f"img/chair/{name}.png")
+        os.makedirs(os.path.dirname(ipath), exist_ok=True)
+        Image.fromarray(img, "RGB").save(ipath)
+        annotations.append(
+            {
+                "img": f"img/chair/{name}.png",
+                "img_size": [240, 240],
+                "bbox": [40, 40, 200, 200],
+                "voxel": f"model/chair/{model_name}/voxel.mat",
+            }
+        )
+        taxonomy[0]["test"].append(name)
+    with open(os.path.join(root, "pix3d.json"), "w") as f:
+        json.dump(annotations, f)
+    tax_path = os.path.join(root, "Pix3D.json")
+    with open(tax_path, "w") as f:
+        json.dump(taxonomy, f)
+
+    cfg = default_config()
+    cfg.DATASET.TEST_DATASET = "Pix3D"
+    cfg.DATASETS.PIX3D.TAXONOMY_FILE_PATH = tax_path
+    cfg.DATASETS.PIX3D.ANNOTATION_PATH = os.path.join(root, "pix3d.json")
+    cfg.DATASETS.PIX3D.RENDERING_PATH = os.path.join(root, "img/%s/%s.%s")
+    cfg.DATASETS.PIX3D.VOXEL_PATH = os.path.join(
+        root, "model/%s/%s/%s.binvox"
+    )
+    return cfg
+
+
+def generate_pascal3d_dataset(
+    root: str, n_samples: int = 4, seed: int = 0
+) -> "Config":
+    """Write a Pascal3D-format fixture: JPEG images, .mat annotations with
+    bbox + cad_index, CAD binvox volumes."""
+    import scipy.io
+    from PIL import Image
+
+    from swinvox_tpu.config import default_config
+
+    rng = np.random.default_rng(seed)
+    taxonomy = [{"taxonomy_name": "aeroplane", "train": [], "test": []}]
+    # two CAD models shared by the samples
+    for cad in (1, 2):
+        vol = _solid(rng)
+        vpath = os.path.join(root, f"CAD/aeroplane/{cad:02d}.binvox")
+        os.makedirs(os.path.dirname(vpath), exist_ok=True)
+        with open(vpath, "wb") as f:
+            binvox.write(
+                binvox.Voxels(vol, [32, 32, 32], [0.0, 0.0, 0.0], 1.0, "xyz"), f
+            )
+    for i in range(n_samples):
+        name = f"n{i:08d}"
+        vol_idx = 1 + (i % 2)
+        img = (rng.random((180, 240, 3)) * 255).astype(np.uint8)
+        ipath = os.path.join(root, f"Images/aeroplane_imagenet/{name}.JPEG")
+        os.makedirs(os.path.dirname(ipath), exist_ok=True)
+        Image.fromarray(img, "RGB").save(ipath)
+        apath = os.path.join(root, f"Annotations/aeroplane_imagenet/{name}.mat")
+        os.makedirs(os.path.dirname(apath), exist_ok=True)
+        record = {
+            "imgsize": np.array([240, 180, 3]),
+            "objects": {
+                "cad_index": vol_idx,
+                "bbox": np.array([30.0, 20.0, 210.0, 160.0]),
+            },
+        }
+        scipy.io.savemat(apath, {"record": record})
+        taxonomy[0]["test"].append(name)
+    tax_path = os.path.join(root, "Pascal3D.json")
+    with open(tax_path, "w") as f:
+        json.dump(taxonomy, f)
+
+    cfg = default_config()
+    cfg.DATASET.TEST_DATASET = "Pascal3D"
+    cfg.DATASETS.PASCAL3D.TAXONOMY_FILE_PATH = tax_path
+    cfg.DATASETS.PASCAL3D.ANNOTATION_PATH = os.path.join(
+        root, "Annotations/%s_imagenet/%s.mat"
+    )
+    cfg.DATASETS.PASCAL3D.RENDERING_PATH = os.path.join(
+        root, "Images/%s_imagenet/%s.JPEG"
+    )
+    cfg.DATASETS.PASCAL3D.VOXEL_PATH = os.path.join(root, "CAD/%s/%02d.binvox")
+    return cfg
+
+
 def generate_dataset(
     root: str,
     n_samples_per_split: Tuple[int, int, int] = (8, 2, 2),
