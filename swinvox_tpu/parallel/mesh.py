@@ -93,3 +93,22 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """device_put host arrays with the batch axis sharded over 'data'."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
+    """Wrap a host batch iterator with device-side double buffering.
+
+    Keeps `depth` batches already transferred (sharded over 'data') ahead of
+    the consumer, so the HBM feed overlaps the previous train step — the
+    mesh analogue of the reference's pin_memory+non_blocking copies
+    (core/train.py:68, utils/helpers.py:15-18).
+    """
+    import collections
+
+    queue = collections.deque()
+    for item in iterator:
+        queue.append(shard_batch(item, mesh))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -24,6 +24,7 @@ from swinvox_tpu.config import Config
 from swinvox_tpu.data.pipeline import build_loader
 from swinvox_tpu.data.taxonomy import DATASET_INDEX_MAPPING, DatasetType
 from swinvox_tpu.parallel import build_mesh, replicated, shard_batch, shard_params
+from swinvox_tpu.parallel.mesh import device_prefetch
 from swinvox_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from swinvox_tpu.train.evaluator import evaluate
 from swinvox_tpu.train.state import create_train_state
@@ -95,7 +96,12 @@ def train_net(cfg: Config) -> float:
         train_loader.set_epoch(epoch_idx)
         t_end = time.time()
         profiling = False
-        for batch_idx, batch in enumerate(train_loader):
+        host_batches = (
+            {"images": b.images, "volumes": b.volumes} for b in train_loader
+        )
+        for batch_idx, device_batch in enumerate(
+            device_prefetch(host_batches, mesh)
+        ):
             if cfg.DIR.PROFILE_DIR and epoch_idx == init_epoch:
                 if batch_idx == 2 and not profiling:
                     jax.profiler.start_trace(cfg.DIR.PROFILE_DIR)
@@ -105,9 +111,6 @@ def train_net(cfg: Config) -> float:
                     profiling = False
                     log.info("Wrote profiler trace to %s", cfg.DIR.PROFILE_DIR)
             data_time.update(time.time() - t_end)
-            device_batch = shard_batch(
-                {"images": batch.images, "volumes": batch.volumes}, mesh
-            )
             with mesh:
                 state, metrics = train_step(
                     state,
