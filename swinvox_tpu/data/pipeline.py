@@ -131,7 +131,19 @@ class BatchLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         seed: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """shard_index/shard_count: multi-host data sharding — every host
+        derives the same global batch order (same seed) and loads only its
+        contiguous slice of each batch, so per-host batches concatenate to
+        the reference's global batch.  batch_size is the GLOBAL batch size.
+        """
+        if batch_size % shard_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{shard_count} hosts"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -140,6 +152,8 @@ class BatchLoader:
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self.epoch = 0
+        self.shard_index = shard_index
+        self.shard_count = shard_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -166,6 +180,12 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         batches = self._batch_indices()
+        if self.shard_count > 1:
+            per_host = self.batch_size // self.shard_count
+            lo = self.shard_index * per_host
+            batches = [
+                b[lo : lo + per_host] for b in batches if len(b) > lo
+            ]
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -235,6 +255,8 @@ def build_loader(
         train_augment=train,
         seed=seed,
     )
+    import jax
+
     return BatchLoader(
         dataset,
         batch_size=batch_size or (cfg.CONST.BATCH_SIZE if train else 1),
@@ -242,4 +264,7 @@ def build_loader(
         drop_last=train,
         num_workers=cfg.CONST.NUM_WORKER,
         seed=seed,
+        # multi-host: each process loads its slice of the global batch
+        shard_index=jax.process_index() if train else 0,
+        shard_count=jax.process_count() if train else 1,
     )

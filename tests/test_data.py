@@ -175,3 +175,37 @@ def test_resize_matches_torch_bilinear(rng):
         .transpose(1, 2, 0)
     )
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_multihost_sharded_batches(fixture_cfg):
+    """Two simulated hosts' batches partition the global batch exactly."""
+    from swinvox_tpu.data.pipeline import BatchLoader, VoxelDataset
+    from swinvox_tpu.data.taxonomy import DatasetType, ShapeNetIndex
+
+    cfg = fixture_cfg
+    index = ShapeNetIndex(cfg)
+    records = index.samples(DatasetType.TRAIN)
+    mk = lambda shard: BatchLoader(
+        VoxelDataset(records, DatasetType.TRAIN, 1, cfg, train_augment=False),
+        batch_size=4, shuffle=True, drop_last=True, num_workers=2, seed=3,
+        shard_index=shard, shard_count=2,
+    )
+    full = BatchLoader(
+        VoxelDataset(records, DatasetType.TRAIN, 1, cfg, train_augment=False),
+        batch_size=4, shuffle=True, drop_last=True, num_workers=2, seed=3,
+    )
+    names0 = [b.sample_names for b in mk(0)]
+    names1 = [b.sample_names for b in mk(1)]
+    names_full = [b.sample_names for b in full]
+    assert len(names0) == len(names1) == len(names_full)
+    for a, b, f in zip(names0, names1, names_full):
+        assert a + b == f  # host slices concatenate to the global batch
+        assert len(a) == len(b) == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        BatchLoader(
+            VoxelDataset(records, DatasetType.TRAIN, 1, cfg, train_augment=False),
+            batch_size=5, shuffle=False, drop_last=True, shard_count=2,
+        )
