@@ -118,6 +118,10 @@ class NetworkConfig:
     #   for CI: SWIN_DEPTHS=(1,1,1,1), RESNET_STAGE_DEPTHS=(1,1,1)).
     SWIN_DEPTHS: Tuple[int, ...] = (2, 2, 6, 2)
     RESNET_STAGE_DEPTHS: Tuple[int, int, int] = (3, 4, 6)
+    #   "reference" replicates the reference's init_weights exactly
+    #   (incl. its x0.1 conv scaling); "standard" uses conventional inits,
+    #   which train faster from scratch.
+    INIT_SCHEME: str = "reference"
 
 
 @dataclass

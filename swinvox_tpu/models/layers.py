@@ -31,26 +31,53 @@ Dtype = Any
 # gain for kaiming-normal with leaky_relu nonlinearity, a=0.02
 _LEAKY_GAIN = math.sqrt(2.0 / (1.0 + 0.02**2))
 
+# Initialization scheme:
+#   "reference" — replicate the reference's init_weights exactly, including
+#       its x0.1 down-scaling of every conv and the near-dead normal(0,
+#       0.001) linears (helpers.py:20-44).  This is the as-coded behavior
+#       (applied even over pretrained backbones, core/train.py:91-94).
+#   "standard" — conventional kaiming/lecun inits; usually trains faster
+#       from scratch.  Set via set_init_scheme() / cfg.NETWORK.INIT_SCHEME
+#       BEFORE model.init.
+_INIT_SCHEME = "reference"
+
+
+def set_init_scheme(scheme: str) -> None:
+    global _INIT_SCHEME
+    if scheme not in ("reference", "standard"):
+        raise ValueError(f"unknown init scheme {scheme!r}")
+    _INIT_SCHEME = scheme
+
+
+def get_init_scheme() -> str:
+    return _INIT_SCHEME
+
 
 def reference_conv_init(scale: float = 0.1) -> Callable:
     """kaiming_normal(fan_out, leaky_relu a=0.02) * scale for conv kernels.
 
     Kernel layout is (*spatial, in, out); fan_out = out * prod(spatial),
-    matching torch's convention for Conv weights.
+    matching torch's convention for Conv weights.  Under the "standard"
+    scheme the x0.1 scale is dropped.
     """
 
     def init(key, shape, dtype=jnp.float32):
+        s = scale if _INIT_SCHEME == "reference" else 1.0
         fan_out = shape[-1] * int(np.prod(shape[:-2]))
-        std = _LEAKY_GAIN / math.sqrt(fan_out) * scale
+        std = _LEAKY_GAIN / math.sqrt(fan_out) * s
         return jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
 
     return init
 
 
 def reference_dense_init(scale: float = 0.1) -> Callable:
-    """normal(0, 0.01) * scale for Linear kernels (reference helpers.py:36-41)."""
+    """normal(0, 0.01) * scale for Linear kernels (reference helpers.py:36-41).
+
+    Under the "standard" scheme: lecun-normal instead."""
 
     def init(key, shape, dtype=jnp.float32):
+        if _INIT_SCHEME == "standard":
+            return nn.initializers.lecun_normal()(key, shape, dtype)
         return jax.random.normal(key, shape, dtype) * jnp.asarray(
             0.01 * scale, dtype
         )

@@ -52,6 +52,9 @@ def create_train_state(
     stable across the reference's epoch-gated enabling
     (core/train.py:243,252).
     """
+    from swinvox_tpu.models.layers import set_init_scheme
+
+    set_init_scheme(cfg.NETWORK.INIT_SCHEME)
     model = SwinVoxModel.from_config(cfg)
     n_views = n_views or cfg.CONST.N_VIEWS_RENDERING
     h, w = image_size or (cfg.CONST.IMG_H, cfg.CONST.IMG_W)

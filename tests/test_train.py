@@ -159,3 +159,28 @@ def test_mesh_data_parallel_equivalence(setup):
     assert float(m_sharded["total_loss"]) == pytest.approx(
         float(m_single["total_loss"]), rel=0.05
     )
+
+
+def test_init_scheme_switch():
+    import jax
+    import jax.numpy as jnp
+
+    from swinvox_tpu.models.layers import (
+        get_init_scheme,
+        reference_conv_init,
+        set_init_scheme,
+    )
+
+    assert get_init_scheme() == "reference"
+    w_ref = reference_conv_init()(jax.random.PRNGKey(0), (3, 3, 64, 128))
+    try:
+        set_init_scheme("standard")
+        w_std = reference_conv_init()(jax.random.PRNGKey(0), (3, 3, 64, 128))
+    finally:
+        set_init_scheme("reference")
+    # standard drops the x0.1 scaling
+    assert abs(float(w_std.std()) / float(w_ref.std()) - 10.0) < 0.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        set_init_scheme("bogus")
