@@ -129,6 +129,22 @@ class WindowMSA(nn.Module):
 
         mask_arr = None if mask is None else jnp.asarray(mask)
 
+        if self.use_pallas and jax.default_backend() == "tpu":
+            # Fully fused W-MSA: qkv projection + per-head attention + out
+            # projection in one Pallas kernel (every intermediate in VMEM).
+            from swinvox_tpu.ops.pallas_fused_msa import fused_window_msa
+
+            return fused_window_msa(
+                x_windows,
+                wqkv.astype(self.dtype),
+                bqkv.astype(self.dtype),
+                wproj.astype(self.dtype),
+                bproj.astype(self.dtype),
+                rel_bias,
+                mask_arr,
+                self.num_heads,
+            )
+
         # Head-major q/k/v via split einsums: XLA folds the [nW, heads, T,
         # hd] output layout into the GEMM epilogue, avoiding the big
         # [nW, T, 3, heads, hd] transpose of the naive packed-qkv form.
