@@ -25,6 +25,9 @@ def main() -> int:
     parser.add_argument("--n-views", type=int, default=3)
     parser.add_argument("--nano", action="store_true",
                         help="tiny backbone for CPU smoke runs")
+    parser.add_argument("--init", choices=("reference", "standard"),
+                        default="reference",
+                        help="init scheme: reference-faithful or standard")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -63,6 +66,7 @@ def main() -> int:
     for m in ("ENCODER", "DECODER", "REFINER"):
         setattr(cfg.TRAIN, f"{m}_LEARNING_RATE", 1e-4)
     cfg.TRAIN.MERGER_LEARNING_RATE = 3e-4
+    cfg.NETWORK.INIT_SCHEME = args.init
     if args.nano:
         cfg.NETWORK.COMPUTE_DTYPE = "float32"
         cfg.NETWORK.USE_PALLAS_WINDOW_ATTENTION = False

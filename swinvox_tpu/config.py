@@ -119,8 +119,11 @@ class NetworkConfig:
     SWIN_DEPTHS: Tuple[int, ...] = (2, 2, 6, 2)
     RESNET_STAGE_DEPTHS: Tuple[int, int, int] = (3, 4, 6)
     #   "reference" replicates the reference's init_weights exactly
-    #   (incl. its x0.1 conv scaling); "standard" uses conventional inits,
-    #   which train faster from scratch.
+    #   (incl. its x0.1 conv scaling); "standard" uses conventional inits.
+    #   Measured on the synthetic fixture: standard init reduces loss much
+    #   faster initially but DIVERGES at the LRs that suit reference init
+    #   (its x0.1 scaling acts as an implicit warmup) — pair "standard"
+    #   with ~10x lower LRs or a warmup schedule.
     INIT_SCHEME: str = "reference"
 
 

@@ -149,3 +149,23 @@ def test_tuner_prunes_and_reports(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "config_best.json"))
     states = {t["state"] for t in result["trials"]}
     assert "COMPLETE" in states
+
+
+def test_lr_finder(fixture_cfg, tmp_path):
+    import copy
+
+    from swinvox_tpu.train.lr_finder import find_lr, suggest_lr
+
+    cfg = copy.deepcopy(fixture_cfg)
+    cfg.DIR.OUT_PATH = str(tmp_path)
+    cfg.LR_FINDER.NUM_BATCHES_TO_TEST = 8
+    lr = find_lr(cfg)
+    assert cfg.LR_FINDER.START_LR <= lr <= cfg.LR_FINDER.END_LR
+    assert os.path.exists(tmp_path / "lr_finder.png")
+
+    # suggestion logic: steepest descent before the minimum (central
+    # differences put the steepest gradient at index 3: (0.3-0.9)/1.0)
+    lrs = [10.0 ** (-7 + i * 0.5) for i in range(10)]
+    losses = [1.0, 0.95, 0.9, 0.7, 0.3, 0.25, 0.24, 0.5, 2.0, 9.0]
+    s = suggest_lr(lrs, losses)
+    assert s in (lrs[3], lrs[4])
