@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 70.0
-BATCH = 64
+BATCH = 128
 N_VIEWS = 1
 NSTEPS = 30
 
