@@ -200,17 +200,46 @@ class BatchLoader:
             )
 
         def producer():
+            # keep a bounded window of futures in flight: submitting the
+            # whole epoch at once would let the pool race ahead of the
+            # consumer and pile completed batches up in memory
+            window = self.num_workers + self.prefetch
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(assemble, b) for b in batches]
-                for fut in futures:
-                    if stop.is_set():
-                        fut.cancel()
-                        continue
-                    try:
-                        out_q.put(fut.result())
-                    except Exception as e:  # surface worker errors
-                        out_q.put(e)
-                        return
+                import collections
+
+                pending = collections.deque()
+                it = iter(batches)
+                try:
+                    while True:
+                        while len(pending) < window:
+                            b = next(it, None)
+                            if b is None:
+                                break
+                            pending.append(pool.submit(assemble, b))
+                        if not pending:
+                            break
+                        fut = pending.popleft()
+                        if stop.is_set():
+                            for f in pending:
+                                f.cancel()
+                            return
+                        result = fut.result()
+                        # put with a timeout so an abandoned consumer (its
+                        # generator finalizer sets `stop`) can't leave the
+                        # producer blocked forever holding decoded batches
+                        while not stop.is_set():
+                            try:
+                                out_q.put(result, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            for f in pending:
+                                f.cancel()
+                            return
+                except Exception as e:  # surface worker errors
+                    out_q.put(e)
+                    return
             out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

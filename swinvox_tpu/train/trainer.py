@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import logging
 import os
-import random
 import time
 from datetime import datetime
 from typing import Optional
@@ -152,9 +151,15 @@ def train_net(cfg: Config) -> float:
             time.time() - epoch_start, encoder_losses.avg, refiner_losses.avg,
         )
 
-        # optional per-epoch re-draw of n_views (reference core/train.py:335-339)
+        # optional per-epoch re-draw of n_views (reference core/train.py:
+        # 335-339); derived from (seed, epoch) so resumed runs draw the
+        # same schedule as uninterrupted ones
         if cfg.TRAIN.UPDATE_N_VIEWS_RENDERING:
-            n_views = random.randint(1, cfg.CONST.N_VIEWS_RENDERING)
+            n_views = int(
+                np.random.default_rng(
+                    np.random.SeedSequence([cfg.CONST.RNG_SEED, epoch_idx])
+                ).integers(1, cfg.CONST.N_VIEWS_RENDERING + 1)
+            )
             train_loader.dataset.set_n_views(n_views)
             log.info("Updated #RenderingViews to %d", n_views)
 
