@@ -14,6 +14,7 @@ Images decode to float32 BGR(A)/255 exactly like cv2.imread(UNCHANGED)/255.
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -58,6 +59,17 @@ def load_volume(path: str) -> np.ndarray:
         return binvox.read_as_3d_array(f).data.astype(np.float32)
 
 
+def _put_unless_stopped(q: "queue.Queue", item, stop: threading.Event) -> bool:
+    """Blocking put that aborts (returns False) once `stop` is set."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.5)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 @dataclass
 class Batch:
     taxonomy_ids: List[str]
@@ -84,6 +96,20 @@ class VoxelDataset:
         self.cfg = cfg
         self.train_augment = train_augment
         self.seed = seed
+        # optional random background images (reference DIR.RANDOM_BG_PATH,
+        # utils/data_transforms.py:419-421)
+        self.bg_files: List[str] = []
+        if train_augment and cfg.DIR.RANDOM_BG_PATH:
+            try:
+                root = cfg.DIR.RANDOM_BG_PATH
+                self.bg_files = [
+                    os.path.join(root, f) for f in sorted(os.listdir(root))
+                ]
+            except OSError:
+                log.warning(
+                    "RANDOM_BG_PATH %s unreadable; using solid colors",
+                    cfg.DIR.RANDOM_BG_PATH,
+                )
 
     def __len__(self) -> int:
         return len(self.records)
@@ -109,7 +135,14 @@ class VoxelDataset:
         images = np.stack([load_image_bgr(p) for p in paths])
         volume = load_volume(rec.volume_path)
         if self.train_augment:
-            images = train_transform(images, self.cfg, rng, rec.bounding_box)
+            bg_image = None
+            if self.bg_files:
+                bg_image = load_image_bgr(
+                    self.bg_files[int(rng.integers(len(self.bg_files)))]
+                )
+            images = train_transform(
+                images, self.cfg, rng, rec.bounding_box, bg_image=bg_image
+            )
         else:
             images = eval_transform(images, self.cfg, rng, rec.bounding_box)
         return rec.taxonomy_id, rec.sample_name, images, volume
@@ -227,20 +260,14 @@ class BatchLoader:
                         # put with a timeout so an abandoned consumer (its
                         # generator finalizer sets `stop`) can't leave the
                         # producer blocked forever holding decoded batches
-                        while not stop.is_set():
-                            try:
-                                out_q.put(result, timeout=0.5)
-                                break
-                            except queue.Full:
-                                continue
-                        if stop.is_set():
+                        if not _put_unless_stopped(out_q, result, stop):
                             for f in pending:
                                 f.cancel()
                             return
                 except Exception as e:  # surface worker errors
-                    out_q.put(e)
+                    _put_unless_stopped(out_q, e, stop)
                     return
-            out_q.put(None)
+            _put_unless_stopped(out_q, None, stop)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

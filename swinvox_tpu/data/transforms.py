@@ -146,20 +146,32 @@ def random_background(
     images: np.ndarray,
     color_range: Sequence[Sequence[int]],
     rng: np.random.Generator,
+    bg_image: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Composite a random solid color where alpha == 0; 4ch -> 3ch.
+    """Composite a random background where alpha == 0; 4ch -> 3ch.
 
     No-op for 3-channel input (reference data_transforms.py:429-430).
-    The color is drawn once and shared across views (:433-435).
+    The solid color is drawn once and shared across views (:433-435).
+    When a background image is supplied (the reference's SUN-images path,
+    DIR.RANDOM_BG_PATH, :438-447), each view flips a coin between the image
+    and the color; the image is resized to the view size.
     """
     if images.shape[-1] != 4:
         return images
     color = np.array(
         [rng.integers(lo, hi + 1) for lo, hi in color_range], np.float32
     ) / 255.0
+    if bg_image is not None:
+        h, w = images.shape[1:3]
+        bg = resize_bilinear_np(bg_image[..., :3], h, w)
     alpha = (images[..., 3:4] == 0).astype(np.float32)
     rgb = images[..., :3]
-    return (alpha * color + (1.0 - alpha) * rgb).astype(np.float32)
+    out = np.empty(images.shape[:-1] + (3,), np.float32)
+    for i in range(images.shape[0]):
+        use_img = bg_image is not None and rng.integers(0, 2)
+        background = bg if use_img else color
+        out[i] = alpha[i] * background + (1.0 - alpha[i]) * rgb[i]
+    return out
 
 
 # ---------------------------------------------------------- color jitter
@@ -273,6 +285,7 @@ def train_transform(
     cfg: Config,
     rng: np.random.Generator,
     bounding_box: Optional[Sequence[float]] = None,
+    bg_image: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """The reference's 8-stage train pipeline (core/train.py:44-53)."""
     img_size = (cfg.CONST.IMG_H, cfg.CONST.IMG_W)
@@ -280,7 +293,9 @@ def train_transform(
     x = crop_images(images, img_size, crop_size, bounding_box, rng)
     # RandomBackground must see the alpha channel; crop preserves channels
     if images.shape[-1] == 4:
-        x = random_background(x, cfg.TRAIN.RANDOM_BG_COLOR_RANGE, rng)
+        x = random_background(
+            x, cfg.TRAIN.RANDOM_BG_COLOR_RANGE, rng, bg_image=bg_image
+        )
     x = color_jitter(
         x, cfg.TRAIN.BRIGHTNESS, cfg.TRAIN.CONTRAST, cfg.TRAIN.SATURATION, rng
     )

@@ -196,10 +196,15 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         shortcut = x
 
+        # canonical swin (and timm) zero the shift when the feature map is
+        # no larger than the window — stage 3 at 224 input runs 7x7 with
+        # window 7, where a shift would wrongly mask the single window
+        shift = 0 if (h <= self.window and w <= self.window) else self.shift
+
         y = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        if self.shift > 0:
-            y = jnp.roll(y, shift=(-self.shift, -self.shift), axis=(1, 2))
-            mask = shifted_window_mask(h, w, self.window, self.shift)
+        if shift > 0:
+            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+            mask = shifted_window_mask(h, w, self.window, shift)
         else:
             mask = None
         y = window_partition(y, self.window)
@@ -212,8 +217,8 @@ class SwinBlock(nn.Module):
             name="attn",
         )(y, mask)
         y = window_unpartition(y, self.window, h, w)
-        if self.shift > 0:
-            y = jnp.roll(y, shift=(self.shift, self.shift), axis=(1, 2))
+        if shift > 0:
+            y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
         x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(
             y, deterministic
         )

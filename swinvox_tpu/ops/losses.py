@@ -17,6 +17,13 @@ import jax.numpy as jnp
 
 def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean binary cross-entropy from logits, computed in float32."""
+    return jnp.mean(bce_with_logits_per_sample(logits, labels))
+
+
+def bce_with_logits_per_sample(
+    logits: jax.Array, labels: jax.Array
+) -> jax.Array:
+    """Per-sample mean BCE: [B, ...] -> [B] (float32)."""
     logits = logits.astype(jnp.float32)
     labels = labels.astype(jnp.float32)
     # max(x,0) - x*z + log(1+exp(-|x|)) — the numerically stable form
@@ -25,7 +32,7 @@ def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
         - logits * labels
         + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     )
-    return jnp.mean(loss)
+    return jnp.mean(loss.reshape(loss.shape[0], -1), axis=1)
 
 
 def voxel_iou(

@@ -90,8 +90,24 @@ def shard_params(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put host arrays with the batch axis sharded over 'data'."""
+    """Place host arrays with the batch axis sharded over 'data'.
+
+    Single-process: a plain sharded device_put.  Multi-process: each host
+    holds only its slice of the global batch (BatchLoader shards by
+    process), so the global array must be assembled from process-local
+    data — device_put would misread the local slice as the global array.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        n_proc = jax.process_count()
+
+        def place(x):
+            global_shape = (x.shape[0] * n_proc,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape
+            )
+
+        return jax.tree.map(place, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

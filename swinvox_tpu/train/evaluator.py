@@ -74,8 +74,9 @@ def evaluate(
         )
         iou = np.asarray(out["iou"])[:n]
         fscore = np.asarray(out["fscore"])[:n]
-        encoder_losses.update(float(out["encoder_loss"]), n)
-        refiner_losses.update(float(out["refiner_loss"]), n)
+        # per-sample losses: padded duplicates are sliced off
+        encoder_losses.update(float(np.asarray(out["encoder_loss"])[:n].mean()), n)
+        refiner_losses.update(float(np.asarray(out["refiner_loss"])[:n].mean()), n)
         for i, tid in enumerate(pend_tax):
             test_iou.setdefault(tid, []).append(iou[i])
             test_fscore.setdefault(tid, []).append(fscore[i])

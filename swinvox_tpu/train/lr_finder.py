@@ -45,6 +45,8 @@ def exponential_sweep(start: float, end: float, num_steps: int) -> optax.Schedul
 
 
 def _sweep_optimizers(cfg: Config, num_steps: int):
+    from swinvox_tpu.train.optim import ModuleOptimizer
+
     schedule = exponential_sweep(
         cfg.LR_FINDER.START_LR, cfg.LR_FINDER.END_LR, num_steps
     )
@@ -59,10 +61,11 @@ def _sweep_optimizers(cfg: Config, num_steps: int):
             optax.clip_by_global_norm(cfg.TRAIN.GRAD_CLIP_NORM),
             optax.add_decayed_weights(cfg.TRAIN.WEIGHT_DECAY),
             inner,
-            optax.scale_by_learning_rate(schedule),
         )
 
-    return {name: chain() for name in MODULE_NAMES}, schedule
+    return {
+        name: ModuleOptimizer(chain(), schedule) for name in MODULE_NAMES
+    }, schedule
 
 
 def find_lr(cfg: Config, plot_path: Optional[str] = None) -> float:

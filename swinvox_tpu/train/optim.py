@@ -17,13 +17,30 @@ exponent range, so the reference's AMP loss-scaling machinery
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence, Tuple
+from typing import Callable, Dict, NamedTuple, Sequence, Tuple
 
 import optax
 
 from swinvox_tpu.config import Config
 
 MODULE_NAMES = ("encoder", "decoder", "merger", "refiner")
+
+
+class ModuleOptimizer(NamedTuple):
+    """A gradient transform with its LR schedule kept OUTSIDE the chain.
+
+    The schedule is evaluated on the global training step, not optax's
+    per-module update count: the reference steps every module's MultiStepLR
+    each epoch even while that module's optimizer step is gated off
+    (core/train.py:292-295, 318-321), so a refiner enabled at epoch 50
+    still decays at milestone 150 — not 200.
+    """
+
+    transform: optax.GradientTransformation
+    schedule: optax.Schedule
+
+    def init(self, params):
+        return self.transform.init(params)
 
 
 def multistep_lr(
@@ -41,31 +58,31 @@ def multistep_lr(
 
 def build_module_optimizer(
     cfg: Config, base_lr: float, milestones: Sequence[int], steps_per_epoch: int
-) -> optax.GradientTransformation:
+) -> ModuleOptimizer:
     schedule = multistep_lr(base_lr, milestones, cfg.TRAIN.GAMMA, steps_per_epoch)
     clip = optax.clip_by_global_norm(cfg.TRAIN.GRAD_CLIP_NORM)
     if cfg.TRAIN.POLICY == "adam":
         b1, b2 = cfg.TRAIN.BETAS
-        return optax.chain(
+        transform = optax.chain(
             clip,
             optax.add_decayed_weights(cfg.TRAIN.WEIGHT_DECAY),
             optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8),
-            optax.scale_by_learning_rate(schedule),  # includes the -1 sign
         )
     elif cfg.TRAIN.POLICY == "sgd":
-        return optax.chain(
+        transform = optax.chain(
             clip,
             optax.add_decayed_weights(cfg.TRAIN.WEIGHT_DECAY),
             optax.trace(decay=cfg.TRAIN.MOMENTUM),
-            optax.scale_by_learning_rate(schedule),
         )
-    raise ValueError(f"Unknown optimizer policy {cfg.TRAIN.POLICY!r}")
+    else:
+        raise ValueError(f"Unknown optimizer policy {cfg.TRAIN.POLICY!r}")
+    return ModuleOptimizer(transform, schedule)
 
 
 def build_optimizers(
     cfg: Config, steps_per_epoch: int
-) -> Dict[str, optax.GradientTransformation]:
-    """One optax chain per module, keyed by the param-tree group name."""
+) -> Dict[str, ModuleOptimizer]:
+    """One (transform, schedule) per module, keyed by param-tree group."""
     t = cfg.TRAIN
     spec = {
         "encoder": (t.ENCODER_LEARNING_RATE, t.ENCODER_LR_MILESTONES),

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import optax
 
 from swinvox_tpu.models import SwinVoxModel
-from swinvox_tpu.ops.losses import bce_with_logits, voxel_fscore, voxel_iou
+from swinvox_tpu.ops.losses import (
+    bce_with_logits,
+    bce_with_logits_per_sample,
+    voxel_fscore,
+    voxel_iou,
+)
 from swinvox_tpu.train.optim import MODULE_NAMES
 from swinvox_tpu.train.state import TrainState
 
@@ -82,9 +87,14 @@ def make_train_step(
         for name in MODULE_NAMES:
             if not active[name]:
                 continue  # exactly like the reference's skipped solver.step
-            updates, new_opt_states[name] = optimizers[name].update(
+            updates, new_opt_states[name] = optimizers[name].transform.update(
                 grads[name], state.opt_states[name], state.params[name]
             )
+            # the LR schedule runs on the GLOBAL step so gated modules'
+            # milestones don't shift (reference steps every scheduler each
+            # epoch, core/train.py:318-321)
+            lr = optimizers[name].schedule(state.step)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
             new_params[name] = optax.apply_updates(
                 state.params[name], updates
             )
@@ -138,17 +148,20 @@ def make_eval_step(
             enable_merger=enable_merger,
             enable_refiner=enable_refiner,
         )
-        encoder_loss = bce_with_logits(out["merged_volumes"], volumes) * 10.0
+        # per-sample losses so padded eval batches can be sliced correctly
+        encoder_loss = (
+            bce_with_logits_per_sample(out["merged_volumes"], volumes) * 10.0
+        )
         if enable_refiner:
             final = out["refined_volumes"]
-            refiner_loss = bce_with_logits(final, volumes) * 10.0
+            refiner_loss = bce_with_logits_per_sample(final, volumes) * 10.0
         else:
             final = out["merged_volumes"]
             refiner_loss = encoder_loss
         probs = jax.nn.sigmoid(final.astype(jnp.float32))
         return {
-            "encoder_loss": encoder_loss,
-            "refiner_loss": refiner_loss,
+            "encoder_loss": encoder_loss,  # [B]
+            "refiner_loss": refiner_loss,  # [B]
             "iou": voxel_iou(probs, volumes, thresholds),  # [B, T]
             "fscore": voxel_fscore(probs, volumes, thresholds),  # [B, T]
             "probs": probs,

@@ -142,6 +142,12 @@ def train_net(cfg: Config) -> float:
                 )
             else:
                 batch_time.update(time.time() - t_end)
+            t_end = time.time()
+
+        if profiling:  # epochs shorter than the stop batch still flush
+            jax.profiler.stop_trace()
+            profiling = False
+            log.info("Wrote profiler trace to %s", cfg.DIR.PROFILE_DIR)
 
         writer.add_scalar("EncoderDecoder/EpochLoss", encoder_losses.avg, epoch_idx + 1)
         writer.add_scalar("Refiner/EpochLoss", refiner_losses.avg, epoch_idx + 1)

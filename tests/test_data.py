@@ -209,3 +209,36 @@ def test_multihost_sharded_batches(fixture_cfg):
             VoxelDataset(records, DatasetType.TRAIN, 1, cfg, train_augment=False),
             batch_size=5, shuffle=False, drop_last=True, shard_count=2,
         )
+
+
+def test_random_background_with_image(rng):
+    imgs = np.zeros((4, 8, 8, 4), np.float32)
+    imgs[..., 3] = 0.0  # all background
+    bg = np.full((16, 16, 3), 0.5, np.float32)
+    out = transforms.random_background(
+        imgs, [[0, 0], [0, 0], [0, 0]], np.random.default_rng(0), bg_image=bg
+    )
+    assert out.shape == (4, 8, 8, 3)
+    # across several views, some must use the image (0.5) and some the
+    # solid color (0.0)
+    means = out.mean(axis=(1, 2, 3))
+    assert (np.isclose(means, 0.5)).any() and (np.isclose(means, 0.0)).any()
+
+
+def test_loader_with_bg_path(fixture_cfg, tmp_path):
+    import copy
+
+    from PIL import Image
+
+    cfg = copy.deepcopy(fixture_cfg)
+    bg_dir = tmp_path / "bg"
+    bg_dir.mkdir()
+    Image.fromarray((np.random.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+        bg_dir / "bg0.png"
+    )
+    cfg.DIR.RANDOM_BG_PATH = str(bg_dir)
+    cfg.CONST.NUM_WORKER = 2
+    loader = build_loader(cfg, DatasetType.TRAIN, n_views=1, batch_size=2)
+    b = next(iter(loader))
+    assert b.images.shape == (2, 1, 224, 224, 3)
+    assert np.isfinite(b.images).all()

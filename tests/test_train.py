@@ -117,7 +117,8 @@ def test_gating_learning_and_eval(setup):
     assert out["iou"].shape == (2, 4)
     assert out["fscore"].shape == (2, 4)
     assert float(out["iou"].min()) >= 0.0 and float(out["iou"].max()) <= 1.0
-    assert float(out["encoder_loss"]) > 0.0
+    assert out["encoder_loss"].shape == (2,)  # per-sample losses
+    assert float(out["encoder_loss"].min()) > 0.0
 
 
 def test_voxel_iou_edge_cases():
