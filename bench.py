@@ -1,18 +1,23 @@
-"""Benchmark: ShapeNet views->voxel inference throughput on one TPU chip.
+"""Benchmark: ShapeNet views->voxel throughput on one TPU chip.
 
 Measures the flagship SwinVox model (default config: multi-stage Swin +
 cross-view attention + merger + refiner, bfloat16) on synthetic 224^2
-1-view batches, end to end (encoder -> decoder -> merger -> refiner ->
-occupancy probabilities).
+1-view batches, end to end:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference's only recorded throughput — ~70 images/s training
-on a Colab GPU at batch 64, 1 view (BASELINE.md; Notebooks cell 47).
+  * TRAINING (the headline): one jitted train step — forward, both BCE
+    losses, backward, all four per-module Adam updates — at batch 64,
+    1 view, merger+refiner enabled.  Baseline: the reference's only
+    recorded throughput, ~70 images/s TRAINING on a Colab GPU at the same
+    batch/view shape (BASELINE.md; Notebooks cell 47) — apples to apples.
+  * INFERENCE (carried in the same JSON line): encoder -> decoder ->
+    merger -> refiner -> sigmoid at batch 128.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Methodology notes: the axon TPU tunnel adds ~35-40 ms latency per blocking
-fetch and block_until_ready returns early, so the loop keeps NSTEPS batches
-in flight with a final scalar fetch forcing completion; a tiny reduction of
-each output chains into the next measurement epoch to prevent reordering.
+fetch and block_until_ready returns early, so each loop keeps NSTEPS
+batches in flight and a final scalar fetch forces completion; a tiny
+reduction of each output chains into the next step to prevent reordering.
 """
 
 from __future__ import annotations
@@ -25,10 +30,88 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_IMAGES_PER_SEC = 70.0
-BATCH = 128
+REFERENCE_TRAIN_IMAGES_PER_SEC = 70.0
+TRAIN_BATCH = 64
+INFER_BATCH = 128
 N_VIEWS = 1
-NSTEPS = 30
+NSTEPS_INFER = 30
+NSTEPS_TRAIN = 12
+
+
+def _measure(fn, n_steps, n_trials=4):
+    """Best wall-clock of n_trials runs of n_steps chained calls."""
+    best = float("inf")
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        s = fn(n_steps)
+        acc = float(s)  # device->host fetch forces completion of the chain
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(acc)
+    return best
+
+
+def bench_inference(model, variables):
+    @jax.jit
+    def infer(variables, images):
+        out = model.apply(variables, images, train=False)
+        probs = jax.nn.sigmoid(out["refined_volumes"].astype(jnp.float32))
+        return probs.mean()
+
+    batch = jax.device_put(
+        np.random.default_rng(0)
+        .uniform(-1.0, 1.0, (INFER_BATCH, N_VIEWS, 224, 224, 3))
+        .astype(np.float32)
+    )
+    float(infer(variables, batch))  # warm up + compile
+
+    def run(n):
+        s = None
+        for _ in range(n):
+            s = infer(variables, batch)
+        return s
+
+    elapsed = _measure(run, NSTEPS_INFER)
+    return NSTEPS_INFER * INFER_BATCH * N_VIEWS / elapsed
+
+
+def bench_training(cfg):
+    from swinvox_tpu.train.state import create_train_state
+    from swinvox_tpu.train.steps import make_train_step
+
+    model, state, optimizers = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=100, n_views=N_VIEWS
+    )
+    train_step = make_train_step(model, optimizers)  # donated state buffers
+    rng = np.random.default_rng(1)
+    images = jax.device_put(
+        rng.uniform(-1.0, 1.0, (TRAIN_BATCH, N_VIEWS, 224, 224, 3)).astype(
+            np.float32
+        )
+    )
+    volumes = jax.device_put(
+        (rng.random((TRAIN_BATCH, 32, 32, 32)) > 0.7).astype(np.float32)
+    )
+    step_rng = jax.random.PRNGKey(2)
+
+    # warm up + compile
+    state, metrics = train_step(
+        state, images, volumes, step_rng,
+        enable_merger=True, enable_refiner=True,
+    )
+    float(metrics["total_loss"])
+
+    def run(n):
+        nonlocal state
+        m = None
+        for _ in range(n):
+            state, m = train_step(
+                state, images, volumes, step_rng,
+                enable_merger=True, enable_refiner=True,
+            )
+        return m["total_loss"]
+
+    elapsed = _measure(run, NSTEPS_TRAIN)
+    return NSTEPS_TRAIN * TRAIN_BATCH * N_VIEWS / elapsed
 
 
 def main() -> int:
@@ -38,44 +121,25 @@ def main() -> int:
 
     enable_compilation_cache()
     cfg = default_config()
-    model = SwinVoxModel.from_config(cfg)
 
-    init_sample = jnp.zeros((BATCH, N_VIEWS, 224, 224, 3), jnp.float32)
+    train_ips = bench_training(cfg)
+
+    model = SwinVoxModel.from_config(cfg)
+    init_sample = jnp.zeros((INFER_BATCH, N_VIEWS, 224, 224, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, init_sample, train=False))(
         jax.random.PRNGKey(0)
     )
+    infer_ips = bench_inference(model, variables)
 
-    @jax.jit
-    def infer(variables, images):
-        out = model.apply(variables, images, train=False)
-        probs = jax.nn.sigmoid(out["refined_volumes"].astype(jnp.float32))
-        return probs, probs.mean()
-
-    batch = jax.device_put(
-        np.random.default_rng(0)
-        .uniform(-1.0, 1.0, (BATCH, N_VIEWS, 224, 224, 3))
-        .astype(np.float32)
-    )
-
-    # warm up + compile
-    _, s = infer(variables, batch)
-    float(s)
-
-    best_elapsed = float("inf")
-    for _trial in range(4):
-        t0 = time.perf_counter()
-        for i in range(NSTEPS):
-            _, s = infer(variables, batch)
-        acc = float(s)  # forces completion of the whole chain
-        best_elapsed = min(best_elapsed, time.perf_counter() - t0)
-        assert np.isfinite(acc)
-
-    images_per_sec = NSTEPS * BATCH * N_VIEWS / best_elapsed
     result = {
-        "metric": "shapenet_1view_inference_throughput_per_chip",
-        "value": round(images_per_sec, 1),
+        "metric": "shapenet_1view_train_throughput_per_chip",
+        "value": round(train_ips, 1),
         "unit": "images/s",
-        "vs_baseline": round(images_per_sec / REFERENCE_IMAGES_PER_SEC, 2),
+        "vs_baseline": round(train_ips / REFERENCE_TRAIN_IMAGES_PER_SEC, 2),
+        "train_batch": TRAIN_BATCH,
+        "inference_images_per_sec": round(infer_ips, 1),
+        "inference_batch": INFER_BATCH,
+        "baseline_train_images_per_sec": REFERENCE_TRAIN_IMAGES_PER_SEC,
     }
     print(json.dumps(result))
     return 0

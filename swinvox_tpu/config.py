@@ -107,6 +107,13 @@ class NetworkConfig:
     #   use the fused Pallas window-attention kernel inside the Swin encoder
     #   (falls back to the pure-XLA path off-TPU or when False).
     USE_PALLAS_WINDOW_ATTENTION: bool = True
+    # fused merger conv stack at inference (ops/pallas_merger.py); the
+    # training path always uses XLA convs (BN batch statistics).
+    # Off by default: the kernel beats XLA in isolation (8.0 vs 9.4 ms at
+    # batch 64) but loses inside the full jitted model, where XLA fuses
+    # and overlaps the conv stack with its neighbors (measured 2013 ->
+    # 1865 img/s at batch 128) — see ROADMAP.md item 1 for the next design
+    USE_PALLAS_MERGER: bool = False
     #   initialize backbones from converted pretrained weights when a
     #   checkpoint path is given.  The reference downloads pretrained
     #   ResNet-50/Swin-Tiny but then clobbers them with init_weights
@@ -175,6 +182,10 @@ class TestConfig:
         (240, 240),
     )
     VOXEL_THRESH: Tuple[float, ...] = (0.2, 0.3, 0.4, 0.5)
+    # fixed-shape eval batch (the reference evaluates one sample at a time,
+    # core/test.py:73; batching is where most of the eval speedup lives).
+    # Rounded up to a multiple of the mesh's data axis when eval is sharded.
+    EVAL_BATCH_SIZE: int = 8
 
 
 @dataclass

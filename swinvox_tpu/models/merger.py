@@ -8,6 +8,12 @@ weighted sum of the per-view coarse **logit** volumes.
 
 Layout: NDHWC; raw_features [B, N, 32, 32, 32, 9], coarse [B, N, 32^3].
 Returns merged logits [B, 32, 32, 32].
+
+Two execution paths sharing ONE parameter layout:
+  * XLA convs (training, CPU, or use_pallas=False);
+  * the fused Pallas kernel (ops/pallas_merger.py) at inference on TPU —
+    all six conv/BN/LeakyReLU layers in one VMEM-resident kernel, avoiding
+    XLA's 9->128 channel padding (~14x memory inflation on this stack).
 """
 
 from __future__ import annotations
@@ -22,10 +28,15 @@ from swinvox_tpu.models.layers import Conv, Norm
 
 Dtype = Any
 
+_CHANNELS = ((9, 9), (9, 9), (9, 9), (9, 9), (36, 9), (9, 1))
+
 
 class Merger(nn.Module):
     leaky_value: float = 0.2
     dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = False
+    # run the fused kernel in the Pallas interpreter (CPU parity tests)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(
@@ -34,25 +45,65 @@ class Merger(nn.Module):
         b, n_views = raw_features.shape[:2]
         x = raw_features.reshape(b * n_views, 32, 32, 32, 9)
 
-        intermediates = []
-        y = x
-        for i in range(4):
-            y = Conv(9, (3, 3, 3), padding=1, dtype=self.dtype,
-                     name=f"conv{i + 1}")(y)
-            y = Norm(dtype=self.dtype, name=f"bn{i + 1}")(y, train)
+        # The fused kernel folds BatchNorm as an affine from RUNNING stats,
+        # so it serves inference only; training-mode BN needs cross-volume
+        # batch statistics and stays on the XLA path.
+        use_fused = self.use_pallas and not train and (
+            self.pallas_interpret or jax.default_backend() == "tpu"
+        )
+
+        convs = [
+            Conv(co, (3, 3, 3), padding=1, dtype=self.dtype,
+                 name=f"conv{i + 1}")
+            for i, (_, co) in enumerate(_CHANNELS)
+        ]
+        norms = [
+            Norm(dtype=self.dtype, name=f"bn{i + 1}") for i in range(6)
+        ]
+
+        if use_fused:
+            from swinvox_tpu.ops.pallas_merger import merger_view_weights
+
+            # materialize the SAME parameter/stat trees the XLA path
+            # creates by tracing each module on a tiny dummy (the dummy
+            # compute is dead code XLA eliminates), then read the bound
+            # variables and run the fused kernel on the real input
+            kernels, biases, bn_params = [], [], []
+            for i, (ci, co) in enumerate(_CHANNELS):
+                dummy = jnp.zeros((1, 3, 3, 3, ci), self.dtype)
+                d_out = convs[i](dummy)
+                norms[i](d_out, False)
+                cp = convs[i].variables["params"]["Conv_0"]
+                kernels.append(cp["kernel"])
+                biases.append(cp["bias"])
+                np_ = norms[i].variables["params"]["bn"]
+                ns = norms[i].variables["batch_stats"]["bn"]
+                bn_params.append(
+                    (np_["scale"], np_["bias"], ns["mean"], ns["var"])
+                )
+            weights = merger_view_weights(
+                x, kernels, biases, bn_params, leaky=self.leaky_value,
+                interpret=self.pallas_interpret,
+            ).reshape(b, n_views, 32, 32, 32)
+        else:
+            intermediates = []
+            y = x
+            for i in range(4):
+                y = convs[i](y)
+                y = norms[i](y, train)
+                y = nn.leaky_relu(y, self.leaky_value)
+                intermediates.append(y)
+
+            y = jnp.concatenate(intermediates, axis=-1)  # [BN, 32^3, 36]
+            y = convs[4](y)
+            y = norms[4](y, train)
             y = nn.leaky_relu(y, self.leaky_value)
-            intermediates.append(y)
 
-        y = jnp.concatenate(intermediates, axis=-1)  # [BN, 32^3, 36]
-        y = Conv(9, (3, 3, 3), padding=1, dtype=self.dtype, name="conv5")(y)
-        y = Norm(dtype=self.dtype, name="bn5")(y, train)
-        y = nn.leaky_relu(y, self.leaky_value)
+            y = convs[5](y)
+            y = norms[5](y, train)
+            y = nn.leaky_relu(y, self.leaky_value)
+            weights = y.reshape(b, n_views, 32, 32, 32)
 
-        y = Conv(1, (3, 3, 3), padding=1, dtype=self.dtype, name="conv6")(y)
-        y = Norm(dtype=self.dtype, name="bn6")(y, train)
-        y = nn.leaky_relu(y, self.leaky_value)
-
-        weights = y.reshape(b, n_views, 32, 32, 32)
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=1)
         merged = jnp.sum(
             coarse_volumes.astype(jnp.float32) * weights, axis=1

@@ -208,12 +208,15 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         y = window_partition(y, self.window)
+        # The fused Pallas W-MSA wins at inference but its backward is an
+        # XLA recompute from x+weights, which costs ~16 ms/step at batch 64
+        # in training (measured) — gate the kernel to deterministic passes
         y = WindowMSA(
             dim=self.dim,
             num_heads=self.num_heads,
             window=self.window,
             dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas and deterministic,
             name="attn",
         )(y, mask)
         y = window_unpartition(y, self.window, h, w)
@@ -263,11 +266,23 @@ class SwinTiny(nn.Module):
     patch_size: int = 4
     drop_path_rate: float = 0.1
     in_channels: int = 3
+    img_size: int = 224
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> List[jax.Array]:
+        # the backbone expects a fixed img_size (window-divisible grids);
+        # bilinear-resize anything else, like the reference wrapper does
+        # before timm (swin_transformer.py:74-75; torch interpolate with
+        # align_corners=False == jax.image.resize half-pixel centers)
+        b, h, w, c = x.shape
+        if (h, w) != (self.img_size, self.img_size):
+            x = jax.image.resize(
+                x.astype(jnp.float32),
+                (b, self.img_size, self.img_size, c),
+                method="bilinear",
+            ).astype(self.dtype)
         # patch embed: conv k4 s4 + LN
         x = Conv(
             self.embed_dim,

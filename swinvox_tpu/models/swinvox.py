@@ -51,6 +51,7 @@ class SwinVoxModel(nn.Module):
     tconv_use_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_pallas_merger: bool = False
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
     resnet_stage_depths: Tuple[int, int, int] = (3, 4, 6)
 
@@ -70,6 +71,7 @@ class SwinVoxModel(nn.Module):
             tconv_use_bias=net.TCONV_USE_BIAS,
             dtype=_dtype_from_str(net.COMPUTE_DTYPE),
             use_pallas=net.USE_PALLAS_WINDOW_ATTENTION,
+            use_pallas_merger=net.USE_PALLAS_MERGER,
             swin_depths=tuple(net.SWIN_DEPTHS),
             resnet_stage_depths=tuple(net.RESNET_STAGE_DEPTHS),
         )
@@ -102,7 +104,10 @@ class SwinVoxModel(nn.Module):
 
         if self.use_merger and enable_merger:
             merged = Merger(
-                leaky_value=self.leaky_value, dtype=self.dtype, name="merger"
+                leaky_value=self.leaky_value,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas_merger,
+                name="merger",
             )(raw_features, coarse, train)
         else:
             merged = jnp.mean(coarse.astype(jnp.float32), axis=1).astype(

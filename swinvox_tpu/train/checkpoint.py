@@ -54,15 +54,89 @@ def save_checkpoint(
     log.info("Saved checkpoint to %s (%.1f MB)", path, len(blob) / 1e6)
 
 
+def save_params_only(path: str, state: TrainState) -> None:
+    """Export weights only (params + batch_stats), no optimizer state.
+
+    The deployment artifact — ~320 MB at the reference's 79.1 M f32
+    parameters, matching the reference's published checkpoint size
+    (README.md:30); full training checkpoints are ~2x that because they
+    carry Adam moments.  Loadable by load_checkpoint (and therefore
+    Predictor.from_checkpoint), which detects the format marker.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    blob = serialization.msgpack_serialize(
+        {
+            "meta": {"format": "params-only"},
+            "state": serialization.to_state_dict(payload),
+        }
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    log.info("Saved params-only checkpoint to %s (%.1f MB)", path, len(blob) / 1e6)
+
+
+def export_params_only(src_path: str, dst_path: str) -> None:
+    """Convert a full training checkpoint file into a params-only export.
+
+    Pure blob surgery (drops opt_states/step from the serialized state
+    dict) — no model or config needed, so it works on any checkpoint:
+
+        python -m swinvox_tpu.train.checkpoint full.ckpt params.ckpt
+    """
+    with open(src_path, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    state_dict = blob["state"]
+    slim = {
+        "params": state_dict["params"],
+        "batch_stats": state_dict["batch_stats"],
+    }
+    out = serialization.msgpack_serialize(
+        {"meta": {"format": "params-only"}, "state": slim}
+    )
+    os.makedirs(os.path.dirname(dst_path) or ".", exist_ok=True)
+    tmp = dst_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(out)
+    os.replace(tmp, dst_path)
+    log.info(
+        "Exported params-only checkpoint %s (%.1f MB) from %s",
+        dst_path,
+        len(out) / 1e6,
+        src_path,
+    )
+
+
 def load_checkpoint(
     path: str,
     state: TrainState,
     restore_optimizer: bool = True,
 ) -> Tuple[TrainState, Dict[str, Any]]:
-    """Restore into an existing (shape-matching) TrainState template."""
+    """Restore into an existing (shape-matching) TrainState template.
+
+    Accepts both full training checkpoints and params-only exports
+    (save_params_only); the latter restore weights/statistics and leave
+    the optimizer state and step counter at the template's values.
+    """
     with open(path, "rb") as f:
         blob = serialization.msgpack_restore(f.read())
     meta = blob["meta"]
+    if meta.get("format") == "params-only":
+        template = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        restored = serialization.from_state_dict(template, blob["state"])
+        new_state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        log.info("Restored params-only checkpoint %s", path)
+        return new_state, meta
     # the template must keep its real pytree structure (optax NamedTuples),
     # so from_state_dict can rebuild it from the raw msgpack dicts
     template = {
@@ -88,3 +162,17 @@ def load_checkpoint(
         meta["best_epoch"],
     )
     return new_state, meta
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) != 3:
+        print(
+            "usage: python -m swinvox_tpu.train.checkpoint "
+            "<full.ckpt> <params-only.ckpt>",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    logging.basicConfig(level=logging.INFO)
+    export_params_only(sys.argv[1], sys.argv[2])

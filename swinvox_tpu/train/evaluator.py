@@ -5,15 +5,20 @@ per-sample IoU (union-0 edge case) and F-score, per-taxonomy aggregation,
 sample-weighted overall means, printed IoU/F-score tables with the
 published-baseline column from the taxonomy JSON, return max(mean IoU).
 
-TPU-first difference: the reference evaluates at batch size 1
-(core/test.py:73); here samples are evaluated in fixed-shape batches (the
-last batch padded and masked), which is where most of the 10x+ eval
-throughput comes from.
+TPU-first differences vs the reference's batch-size-1 loop (core/test.py:73):
+  * samples are evaluated in fixed-shape batches (the last batch padded
+    and masked), which is where most of the 10x+ eval throughput comes from;
+  * when a mesh is passed, eval batches shard over the 'data' axis like
+    train batches (batch size rounded up to a multiple of the axis), so
+    validation scales with the device count;
+  * dispatch is asynchronous with up to 3 batches in flight — host-side
+    batch assembly and metric reduction overlap device compute.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -37,16 +42,25 @@ def evaluate(
     loader: BatchLoader,
     taxonomies: Dict[str, TaxonomyInfo],
     epoch_idx: int = 0,
-    eval_batch_size: int = 8,
+    eval_batch_size: Optional[int] = None,
     enable_merger: bool = True,
     enable_refiner: bool = True,
     metrics_logger=None,
     print_tables: bool = True,
     render_dir: Optional[str] = None,
     n_render: int = 3,
+    mesh=None,
 ) -> float:
     thresholds = tuple(cfg.TEST.VOXEL_THRESH)
     eval_step = make_eval_step(model, thresholds)
+    if eval_batch_size is None:
+        eval_batch_size = cfg.TEST.EVAL_BATCH_SIZE
+    if mesh is not None:
+        # eval batches shard over the mesh's data axis like train batches;
+        # pad the batch size up to a multiple so every shard is full
+        data_size = mesh.shape["data"]
+        eval_batch_size = max(eval_batch_size, data_size)
+        eval_batch_size += -eval_batch_size % data_size
 
     encoder_losses = AverageMeter()
     refiner_losses = AverageMeter()
@@ -56,31 +70,59 @@ def evaluate(
     # accumulate samples into fixed-shape batches for the jitted step
     pend_img, pend_vol, pend_tax = [], [], []
     rendered = [0]  # first n_render samples -> PNG (reference test.py:179-187)
+    inflight = []  # (device outputs, taxonomy ids, n, host volumes) pairs
 
-    def flush():
+    def submit():
+        """Launch the jitted step on the pending samples (async dispatch);
+        results are drained later so the host pipeline overlaps device
+        compute (double buffering)."""
         if not pend_img:
             return
         n = len(pend_img)
         pad = eval_batch_size - n
         images = np.stack(pend_img + [pend_img[-1]] * pad)
         volumes = np.stack(pend_vol + [pend_vol[-1]] * pad)
-        out = eval_step(
-            state.params,
-            state.batch_stats,
-            images,
-            volumes,
-            enable_merger=enable_merger,
-            enable_refiner=enable_refiner,
-        )
+        if mesh is not None:
+            from swinvox_tpu.parallel import shard_batch
+
+            sharded = shard_batch({"images": images, "volumes": volumes}, mesh)
+            with mesh:
+                out = eval_step(
+                    state.params,
+                    state.batch_stats,
+                    sharded["images"],
+                    sharded["volumes"],
+                    enable_merger=enable_merger,
+                    enable_refiner=enable_refiner,
+                )
+        else:
+            out = eval_step(
+                state.params,
+                state.batch_stats,
+                images,
+                volumes,
+                enable_merger=enable_merger,
+                enable_refiner=enable_refiner,
+            )
+        need_probs = render_dir is not None and rendered[0] < n_render
+        if not need_probs:
+            out = {k: v for k, v in out.items() if k != "probs"}
+        inflight.append((out, list(pend_tax), n, volumes if need_probs else None))
+        pend_img.clear()
+        pend_vol.clear()
+        pend_tax.clear()
+
+    def drain():
+        out, tax, n, volumes = inflight.pop(0)
         iou = np.asarray(out["iou"])[:n]
         fscore = np.asarray(out["fscore"])[:n]
         # per-sample losses: padded duplicates are sliced off
         encoder_losses.update(float(np.asarray(out["encoder_loss"])[:n].mean()), n)
         refiner_losses.update(float(np.asarray(out["refiner_loss"])[:n].mean()), n)
-        for i, tid in enumerate(pend_tax):
+        for i, tid in enumerate(tax):
             test_iou.setdefault(tid, []).append(iou[i])
             test_fscore.setdefault(tid, []).append(fscore[i])
-        if render_dir is not None and rendered[0] < n_render:
+        if volumes is not None and rendered[0] < n_render:
             from swinvox_tpu.utils.visualization import get_volume_views
 
             probs = np.asarray(out["probs"])[:n]
@@ -88,10 +130,19 @@ def evaluate(
                 idx = rendered[0]
                 get_volume_views(probs[i], render_dir, "GV", idx, epoch_idx)
                 get_volume_views(volumes[i], render_dir, "GT", idx, epoch_idx)
+                # stream the renders to TensorBoard with the reference's
+                # tags (core/test.py:179-187)
+                if metrics_logger is not None:
+                    for prefix, tag in (("GV", "Reconstructed"), ("GT", "GroundTruth")):
+                        metrics_logger.add_image(
+                            f"Model{idx:02d}/{tag}",
+                            os.path.join(
+                                render_dir,
+                                f"{prefix}-e{epoch_idx:03d}-s{idx:02d}.png",
+                            ),
+                            epoch_idx,
+                        )
                 rendered[0] += 1
-        pend_img.clear()
-        pend_vol.clear()
-        pend_tax.clear()
 
     n_seen = 0
     for batch in loader:
@@ -101,8 +152,12 @@ def evaluate(
             pend_tax.append(batch.taxonomy_ids[i])
             n_seen += 1
             if len(pend_img) == eval_batch_size:
-                flush()
-    flush()
+                submit()
+                while len(inflight) > 2:  # keep 2 batches in flight
+                    drain()
+    submit()
+    while inflight:
+        drain()
 
     if n_seen == 0:
         log.warning("evaluate: empty loader")

@@ -176,6 +176,7 @@ def train_net(cfg: Config) -> float:
             enable_refiner=enable_refiner,
             metrics_logger=val_writer,
             render_dir=os.path.join(output_dir, "images"),
+            mesh=mesh,
         )
 
         if (epoch_idx + 1) % cfg.TRAIN.SAVE_FREQ == 0 or iou > best_iou:
@@ -198,17 +199,37 @@ def test_net(
     epoch_idx: int = -1,
     weights: Optional[str] = None,
 ) -> float:
-    """Standalone evaluation (reference core/test.py:24-89 standalone path)."""
+    """Standalone evaluation (reference core/test.py:24-89 standalone path).
+
+    Like the reference, every test_net call renders the first 3 samples
+    (core/test.py:179-187) and streams metrics + renders to the writer.
+    """
     enable_compilation_cache()
     cfg.validate()
     model, state, _ = create_train_state(cfg, jax.random.PRNGKey(cfg.CONST.RNG_SEED))
     weights = weights or cfg.CONST.WEIGHTS
     if weights:
         state, _ = load_checkpoint(weights, state, restore_optimizer=False)
+    # eval shards over the same mesh as training (all devices)
+    mesh = build_mesh(cfg)
+    state = state.replace(
+        params=shard_params(state.params, mesh),
+        batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+    )
     loader = build_loader(cfg, DatasetType.TEST)
     taxonomies = DATASET_INDEX_MAPPING[cfg.DATASET.TEST_DATASET](cfg).taxonomy_info()
-    return evaluate(
-        cfg, model, state, loader, taxonomies, epoch_idx=epoch_idx,
-        enable_merger=cfg.NETWORK.USE_MERGER,
-        enable_refiner=cfg.NETWORK.USE_REFINER,
+    output_dir = os.path.join(
+        cfg.DIR.OUT_PATH, datetime.now().isoformat().replace(":", "-")
     )
+    writer = MetricsLogger(os.path.join(output_dir, "logs"), "test")
+    try:
+        return evaluate(
+            cfg, model, state, loader, taxonomies, epoch_idx=epoch_idx,
+            enable_merger=cfg.NETWORK.USE_MERGER,
+            enable_refiner=cfg.NETWORK.USE_REFINER,
+            metrics_logger=writer,
+            render_dir=os.path.join(output_dir, "images"),
+            mesh=mesh,
+        )
+    finally:
+        writer.close()

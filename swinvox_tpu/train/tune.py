@@ -189,16 +189,28 @@ def _default_objective(trial_cfg: Config, n_epochs: int, report) -> float:
     rng = jax.random.PRNGKey(trial_cfg.CONST.RNG_SEED + 13)
     best = -1.0
     for epoch in range(n_epochs):
+        # staged merger/refiner enabling, exactly like the main trainer and
+        # the reference's trial loop (optuna_tune.py:305-316)
+        enable_merger = (
+            trial_cfg.NETWORK.USE_MERGER
+            and epoch >= trial_cfg.TRAIN.EPOCH_START_USE_MERGER
+        )
+        enable_refiner = (
+            trial_cfg.NETWORK.USE_REFINER
+            and epoch >= trial_cfg.TRAIN.EPOCH_START_USE_REFINER
+        )
         train_loader.set_epoch(epoch)
         for batch in train_loader:
             state, _ = train_step(
                 state, batch.images, batch.volumes, rng,
-                enable_merger=trial_cfg.NETWORK.USE_MERGER,
-                enable_refiner=trial_cfg.NETWORK.USE_REFINER,
+                enable_merger=enable_merger,
+                enable_refiner=enable_refiner,
             )
         iou = evaluate(
             trial_cfg, model, state, val_loader, taxonomies,
             epoch_idx=epoch, print_tables=False,
+            enable_merger=enable_merger,
+            enable_refiner=enable_refiner,
         )
         best = max(best, iou)
         if report(epoch, iou):

@@ -113,3 +113,95 @@ def test_header_metadata_preserved():
 def test_rejects_non_binvox():
     with pytest.raises(IOError):
         binvox.loads(b"not a binvox file\n")
+
+
+# ---------------------------------------------------------------------------
+# Byte-level interop with the reference codec (/root/reference/utils/
+# binvox_rw.py, numpy-only and importable by file path).  Both directions:
+# our writer -> reference reader, reference writer -> our reader.
+
+
+@pytest.fixture(scope="module")
+def ref_binvox():
+    import importlib.util
+    import os
+
+    path = "/root/reference/utils/binvox_rw.py"
+    if not os.path.exists(path):
+        pytest.skip("reference codec not available")
+    spec = importlib.util.spec_from_file_location("ref_binvox", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _interop_volumes(rng):
+    return [
+        random_volume(rng),
+        blob_volume(),
+        np.zeros((32, 32, 32), bool),
+        np.ones((8, 8, 8), bool),
+    ]
+
+
+def test_ours_to_reference(rng, ref_binvox):
+    for vol in _interop_volumes(rng):
+        model = binvox.Voxels(
+            vol, list(vol.shape), [0.0, 0.0, 0.0], 1.0, "xyz"
+        )
+        buf = binvox.dumps(model)
+        ref = ref_binvox.read_as_3d_array(io.BytesIO(buf))
+        np.testing.assert_array_equal(ref.data, vol)
+        assert list(ref.dims) == list(vol.shape)
+        assert ref.scale == 1.0
+
+
+def test_reference_to_ours(rng, ref_binvox):
+    for vol in _interop_volumes(rng):
+        model = ref_binvox.Voxels(
+            vol, list(vol.shape), [0.0, 0.0, 0.0], 1.0, "xyz"
+        )
+        out = io.BytesIO()
+        ref_binvox.write(model, out)
+        ours = binvox.loads(out.getvalue())
+        np.testing.assert_array_equal(ours.data, vol)
+        assert list(ours.dims) == list(vol.shape)
+
+
+def test_byte_identical_to_reference_writer(rng, ref_binvox):
+    """Our RLE encoder emits the exact bytes the reference writer does."""
+    for vol in _interop_volumes(rng):
+        ours = binvox.dumps(
+            binvox.Voxels(vol, list(vol.shape), [0.0, 0.0, 0.0], 1.0, "xyz")
+        )
+        out = io.BytesIO()
+        ref_binvox.write(
+            ref_binvox.Voxels(vol, list(vol.shape), [0.0, 0.0, 0.0], 1.0, "xyz"),
+            out,
+        )
+        assert ours == out.getvalue()
+
+
+def test_coord_array_interop(rng, ref_binvox):
+    """Same voxel set from read_as_coord_array on both codecs.
+
+    The reference's version (binvox_rw.py:191-194) divides indices with
+    py3 true division (`/` where py2 meant `//`), returning float
+    coordinates; flooring them recovers the integer voxel coords our
+    codec returns directly.
+    """
+    vol = random_volume(rng)
+    buf = binvox.dumps(
+        binvox.Voxels(vol, list(vol.shape), [0.0, 0.0, 0.0], 1.0, "xyz")
+    )
+    ref_coords = ref_binvox.read_as_coord_array(io.BytesIO(buf))
+    our_coords = binvox.read_as_coord_array(io.BytesIO(buf))
+
+    def colsorted(a):
+        a = np.asarray(a)
+        return a[:, np.lexsort(a[::-1])]
+
+    np.testing.assert_array_equal(
+        colsorted(np.floor(ref_coords.data).astype(np.int64)),
+        colsorted(np.asarray(our_coords.data, np.int64)),
+    )

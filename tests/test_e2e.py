@@ -94,6 +94,57 @@ def test_checkpoint_roundtrip_exact(fixture_cfg, tmp_path):
     )
 
 
+def test_params_only_export_and_load(fixture_cfg, tmp_path):
+    """Deployment artifact: weights-only export (~half the size of the
+    training checkpoint, matching the reference's 320 MB params-only
+    artifact, README.md:30) loads back through load_checkpoint."""
+    import jax
+
+    from swinvox_tpu.train.checkpoint import (
+        export_params_only,
+        load_checkpoint,
+        save_checkpoint,
+        save_params_only,
+    )
+    from swinvox_tpu.train.state import create_train_state
+
+    cfg = fixture_cfg
+    model, state, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    full = str(tmp_path / "full.ckpt")
+    slim = str(tmp_path / "slim.ckpt")
+    save_checkpoint(full, state, epoch_idx=1, best_iou=0.5, best_epoch=1)
+    save_params_only(slim, state)
+    # params-only drops the Adam moments: noticeably smaller
+    assert os.path.getsize(slim) < 0.75 * os.path.getsize(full)
+
+    perturbed = state.replace(
+        params=jax.tree.map(lambda x: x + 1.0, state.params)
+    )
+    restored, meta = load_checkpoint(slim, perturbed)
+    assert meta.get("format") == "params-only"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params,
+        state.params,
+    )
+    # optimizer state untouched by a params-only load
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.opt_states,
+        perturbed.opt_states,
+    )
+
+    # file->file conversion from an existing full checkpoint is identical
+    slim2 = str(tmp_path / "slim2.ckpt")
+    export_params_only(full, slim2)
+    restored2, _ = load_checkpoint(slim2, perturbed)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored2.params,
+        state.params,
+    )
+
+
 def test_cli_config_plumbing(fixture_cfg, tmp_path):
     from swinvox_tpu.cli.runner import build_config, get_args_from_command_line
 

@@ -156,6 +156,46 @@ def test_swin_stage_shapes():
     ]
 
 
+def test_swin_resizes_non_224_inputs(rng):
+    """Non-224 inputs are bilinear-resized before the backbone (reference
+    swin_transformer.py:74-75), so any input size yields the 224 grid
+    shapes and parameters are shared across input sizes."""
+    model = SwinTiny(dtype=jnp.float32, depths=(1, 1, 1, 1))
+    x224 = jnp.asarray(
+        rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+    )
+    variables = jax.jit(lambda k: model.init(k, x224, False))(
+        jax.random.PRNGKey(0)
+    )
+    x192 = jnp.asarray(
+        rng.standard_normal((2, 192, 192, 3)).astype(np.float32)
+    )
+    feats = jax.jit(lambda v, x: model.apply(v, x, False))(variables, x192)
+    assert [f.shape for f in feats] == [
+        (2, 56, 56, 96),
+        (2, 28, 28, 192),
+        (2, 14, 14, 384),
+        (2, 7, 7, 768),
+    ]
+    # the resize itself matches torch interpolate(align_corners=False)
+    torch = pytest.importorskip("torch")
+    small = rng.standard_normal((1, 100, 100, 3)).astype(np.float32)
+    ours = np.asarray(
+        jax.image.resize(jnp.asarray(small), (1, 224, 224, 3), "bilinear")
+    )
+    theirs = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(small).permute(0, 3, 1, 2),
+            size=(224, 224),
+            mode="bilinear",
+            align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
 def test_merger_preserves_agreeing_views(rng):
     """Softmax view weights sum to 1: when all views predict the same
     volume, the merged volume must equal it exactly."""

@@ -75,3 +75,132 @@ def test_fused_kernel_grad_interpret(rng):
     gr = jax.grad(lr)((x, wqkv, bqkv, wproj, bproj))
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+# ----------------------------------------------------------- fused merger
+
+
+def _merger_fixture(rng):
+    chans = [(9, 9), (9, 9), (9, 9), (9, 9), (36, 9), (9, 1)]
+    kernels, biases, bn = [], [], []
+    for ci, co in chans:
+        kernels.append(
+            (rng.standard_normal((3, 3, 3, ci, co)) * 0.2).astype(np.float32)
+        )
+        biases.append((rng.standard_normal(co) * 0.1).astype(np.float32))
+        bn.append(
+            (
+                (1 + 0.1 * rng.standard_normal(co)).astype(np.float32),
+                (0.1 * rng.standard_normal(co)).astype(np.float32),
+                (0.1 * rng.standard_normal(co)).astype(np.float32),
+                (0.5 + np.abs(rng.standard_normal(co))).astype(np.float32),
+            )
+        )
+    return kernels, biases, bn
+
+
+def _merger_conv_reference(x, kernels, biases, bn):
+    def leaky(y):
+        return jnp.where(y >= 0, y, 0.2 * y)
+
+    def bn_inf(y, p):
+        s, b, m, v = p
+        return (y - m) / jnp.sqrt(v + 1e-5) * s + b
+
+    def conv(y, k, b):
+        out = jax.lax.conv_general_dilated(
+            y, k, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return out + b
+
+    inter = []
+    y = x
+    for i in range(4):
+        y = leaky(bn_inf(conv(y, kernels[i], biases[i]), bn[i]))
+        inter.append(y)
+    y = jnp.concatenate(inter, -1)
+    y = leaky(bn_inf(conv(y, kernels[4], biases[4]), bn[4]))
+    y = leaky(bn_inf(conv(y, kernels[5], biases[5]), bn[5]))
+    return y[..., 0]
+
+
+def test_merger_kernel_interpret_parity(rng):
+    """The fused merger conv stack == six XLA Conv3D+BN+LeakyReLU layers."""
+    from swinvox_tpu.ops.pallas_merger import merger_view_weights
+
+    kernels, biases, bn = _merger_fixture(rng)
+    x = jnp.asarray(
+        (rng.standard_normal((2, 32, 32, 32, 9)) * 0.5).astype(np.float32)
+    )
+    expected = np.asarray(_merger_conv_reference(x, kernels, biases, bn))
+    got = np.asarray(
+        merger_view_weights(x, kernels, biases, bn, interpret=True)
+    )
+    # f32 accumulation order differs (banded matmuls vs direct conv)
+    np.testing.assert_allclose(got, expected, rtol=3e-3, atol=5e-4)
+
+
+def test_merger_module_fused_branch_parity(rng):
+    """Merger(use_pallas) == Merger() at inference, identical param trees."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.models.merger import Merger
+
+    raw = jnp.asarray(
+        rng.standard_normal((2, 3, 32, 32, 32, 9)).astype(np.float32)
+    )
+    coarse = jnp.asarray(
+        rng.standard_normal((2, 3, 32, 32, 32)).astype(np.float32)
+    )
+    m_xla = Merger(dtype=jnp.float32)
+    v = m_xla.init(jax.random.PRNGKey(0), raw, coarse, False)
+    # shift the running stats so the BN folding is non-trivial
+    v = {
+        "params": v["params"],
+        "batch_stats": jax.tree.map(lambda x: x + 0.1, v["batch_stats"]),
+    }
+    out_xla = m_xla.apply(v, raw, coarse, False)
+
+    m_fused = Merger(dtype=jnp.float32, use_pallas=True, pallas_interpret=True)
+    v2 = m_fused.init(jax.random.PRNGKey(0), raw, coarse, False)
+    assert tu.tree_structure(v2["params"]) == tu.tree_structure(v["params"])
+    assert tu.tree_structure(v2["batch_stats"]) == tu.tree_structure(
+        v["batch_stats"]
+    )
+    out_fused = m_fused.apply(v, raw, coarse, False)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_xla), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_merger_fused_training_falls_back_to_xla(rng):
+    """train=True must use batch-statistics BN (the XLA path), even with
+    use_pallas set — outputs and mutated stats match the plain module."""
+    from swinvox_tpu.models.merger import Merger
+
+    raw = jnp.asarray(
+        rng.standard_normal((1, 2, 32, 32, 32, 9)).astype(np.float32)
+    )
+    coarse = jnp.asarray(
+        rng.standard_normal((1, 2, 32, 32, 32)).astype(np.float32)
+    )
+    m_ref = Merger(dtype=jnp.float32)
+    m_fused = Merger(dtype=jnp.float32, use_pallas=True, pallas_interpret=True)
+    v = m_ref.init(jax.random.PRNGKey(0), raw, coarse, False)
+    out_ref, mut_ref = m_ref.apply(
+        v, raw, coarse, True, mutable=["batch_stats"]
+    )
+    out_fused, mut_fused = m_fused.apply(
+        v, raw, coarse, True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=1e-5, atol=1e-6
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        mut_fused["batch_stats"],
+        mut_ref["batch_stats"],
+    )

@@ -158,8 +158,120 @@ def test_mesh_data_parallel_equivalence(setup):
             jax.random.PRNGKey(0), enable_merger=True, enable_refiner=True,
         )
     assert float(m_sharded["total_loss"]) == pytest.approx(
-        float(m_single["total_loss"]), rel=0.05
+        float(m_single["total_loss"]), rel=1e-3
     )
+
+
+def test_tp_rules_cover_refiner_bottleneck(setup):
+    """_param_spec applies all three _TP_RULES on a real model>1 mesh."""
+    from swinvox_tpu.parallel import build_mesh
+    from swinvox_tpu.parallel.mesh import _TP_RULES, _param_spec, shard_params
+
+    import copy
+
+    cfg, model, state, *_ = setup
+    cfg_tp = copy.deepcopy(cfg)
+    cfg_tp.PARALLEL.MODEL_PARALLEL = 2
+    mesh = build_mesh(cfg_tp, devices=jax.devices()[:8])
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    hits = {}
+    for path, leaf in flat:
+        names = tuple(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        spec = _param_spec(path, mesh)
+        for rule_names, rule_spec in _TP_RULES:
+            if all(any(r == n for n in names) for r in rule_names):
+                assert spec == rule_spec, names
+                hits[rule_names] = leaf.shape
+    # every rule matched exactly one parameter tree leaf family
+    assert len(hits) == len(_TP_RULES), hits
+    # and the sharded placement actually splits those leaves over 'model'
+    sharded = shard_params(state.params, mesh)
+    fc1_kernel = sharded["refiner"]["fc1"]["Dense_0"]["kernel"]
+    assert fc1_kernel.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    n_shards = len({s.index for s in fc1_kernel.addressable_shards})
+    assert n_shards == 2
+
+
+def test_mesh_tensor_parallel_equivalence(setup):
+    """data=4 x model=2 train step == single-device step, tight f32 tol."""
+    import copy
+
+    from swinvox_tpu.parallel import build_mesh, replicated, shard_batch, shard_params
+
+    cfg, model, state, optimizers, train_step, images, vols = setup
+
+    s_single, m_single = train_step(
+        state, images, vols, jax.random.PRNGKey(0),
+        enable_merger=True, enable_refiner=True,
+    )
+
+    cfg_tp = copy.deepcopy(cfg)
+    cfg_tp.PARALLEL.MODEL_PARALLEL = 2
+    mesh = build_mesh(cfg_tp, devices=jax.devices()[:8])
+    sharded_state = state.replace(
+        params=shard_params(state.params, mesh),
+        batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+        opt_states=shard_params(state.opt_states, mesh),
+        step=jax.device_put(state.step, replicated(mesh)),
+    )
+    batch = shard_batch({"images": images, "volumes": vols}, mesh)
+    with mesh:
+        s_tp, m_tp = train_step(
+            sharded_state, batch["images"], batch["volumes"],
+            jax.random.PRNGKey(0), enable_merger=True, enable_refiner=True,
+        )
+    assert float(m_tp["total_loss"]) == pytest.approx(
+        float(m_single["total_loss"]), rel=1e-3
+    )
+    # updated parameters match too — including the model-sharded bottleneck.
+    # Adam's first step is ~sign(grad)*lr (lr = 3e-3 here), so reduction-
+    # order noise in a near-zero grad can move a single element by up to
+    # ~lr/2 between shardings (observed: 1 element of 256 at 1.5e-3);
+    # bound the divergence below lr instead of elementwise relative
+    # equality — a real sharding bug moves whole tensors, not one entry.
+    fc1_single = np.asarray(
+        s_single.params["refiner"]["fc1"]["Dense_0"]["kernel"]
+    )
+    fc1_tp = np.asarray(s_tp.params["refiner"]["fc1"]["Dense_0"]["kernel"])
+    np.testing.assert_allclose(fc1_tp, fc1_single, rtol=1e-2, atol=2e-3)
+    enc_single = np.asarray(
+        jax.tree.leaves(s_single.params["encoder"])[0]
+    )
+    enc_tp = np.asarray(jax.tree.leaves(s_tp.params["encoder"])[0])
+    np.testing.assert_allclose(enc_tp, enc_single, rtol=1e-2, atol=2e-3)
+
+
+def test_mesh_sharded_eval_equivalence(setup):
+    """Per-sample eval metrics are identical whether the batch is sharded
+    over the 8-device mesh or run on one device."""
+    from swinvox_tpu.parallel import build_mesh, replicated, shard_batch, shard_params
+
+    cfg, model, state, optimizers, train_step, images, vols = setup
+    eval_step = make_eval_step(model)
+
+    single = eval_step(
+        state.params, state.batch_stats, images, vols,
+        enable_merger=True, enable_refiner=True,
+    )
+
+    mesh = build_mesh(cfg, devices=jax.devices()[:8])
+    params = shard_params(state.params, mesh)
+    batch_stats = jax.device_put(state.batch_stats, replicated(mesh))
+    batch = shard_batch({"images": images, "volumes": vols}, mesh)
+    with mesh:
+        sharded = eval_step(
+            params, batch_stats, batch["images"], batch["volumes"],
+            enable_merger=True, enable_refiner=True,
+        )
+    for key in ("iou", "fscore", "encoder_loss", "refiner_loss"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[key]), np.asarray(single[key]),
+            rtol=1e-4, atol=1e-6,
+        )
 
 
 def test_init_scheme_switch():
