@@ -1,0 +1,180 @@
+"""Micro-batching server tests: coalescing, padding, view fitting, HTTP."""
+
+import io
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from swinvox_tpu.serve import BatchingServer, _fit_views
+
+
+class FakePredictor:
+    """Records the batches it sees; returns each sample's mean as a cube."""
+
+    def __init__(self, delay_s=0.0):
+        self.batches = []
+        self.delay_s = delay_s
+
+    def predict(self, images):
+        self.batches.append(np.array(images))
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        means = images.reshape(images.shape[0], -1).mean(axis=1)
+        return np.broadcast_to(
+            means[:, None, None, None], (images.shape[0], 4, 4, 4)
+        ).copy()
+
+
+def _req(rng, n_views=2, value=None):
+    img = rng.uniform(-1, 1, (n_views, 8, 8, 3)).astype(np.float32)
+    if value is not None:
+        img[:] = value
+    return img
+
+
+def test_fit_views():
+    x = np.arange(3 * 2 * 2 * 3, dtype=np.float32).reshape(3, 2, 2, 3)
+    np.testing.assert_array_equal(_fit_views(x, 3), x)
+    np.testing.assert_array_equal(_fit_views(x, 2), x[:2])
+    tiled = _fit_views(x, 5)
+    np.testing.assert_array_equal(tiled, x[[0, 1, 2, 0, 1]])
+
+
+def test_single_request_roundtrip(rng):
+    with BatchingServer(FakePredictor(), batch_size=4, n_views=2) as server:
+        img = _req(rng, value=0.5)
+        out = server.submit(img).result(timeout=10)
+    assert out.shape == (4, 4, 4)
+    np.testing.assert_allclose(out, 0.5, rtol=1e-6)
+
+
+def test_coalescing_and_padding(rng):
+    fake = FakePredictor(delay_s=0.05)
+    with BatchingServer(
+        fake, batch_size=4, n_views=2, max_wait_ms=200.0
+    ) as server:
+        futs = [server.submit(_req(rng, value=i + 1.0)) for i in range(6)]
+        outs = [f.result(timeout=30) for f in futs]
+    for i, out in enumerate(outs):
+        np.testing.assert_allclose(out, i + 1.0, rtol=1e-6)
+    # 6 requests at batch_size 4 -> at most 3 launches, each shape [4,...]
+    assert 2 <= len(fake.batches) <= 3
+    assert all(b.shape == (4, 2, 8, 8, 3) for b in fake.batches)
+    stats = server.stats()
+    assert stats["requests"] == 6
+    assert stats["batches"] == len(fake.batches)
+    assert "mean_latency_ms" in stats
+
+
+def test_view_mismatch_is_fitted(rng):
+    fake = FakePredictor()
+    with BatchingServer(fake, batch_size=2, n_views=3) as server:
+        out = server.submit(_req(rng, n_views=1, value=2.0)).result(timeout=10)
+    np.testing.assert_allclose(out, 2.0, rtol=1e-6)
+    assert fake.batches[0].shape[1] == 3  # tiled up to n_views
+
+
+def test_error_propagates(rng):
+    class Boom:
+        def predict(self, images):
+            raise ValueError("boom")
+
+    with BatchingServer(Boom(), batch_size=2, n_views=1) as server:
+        fut = server.submit(_req(rng, n_views=1))
+        with pytest.raises(ValueError, match="boom"):
+            fut.result(timeout=10)
+
+
+def test_submit_shape_validation(rng):
+    with BatchingServer(FakePredictor(), batch_size=2, n_views=1) as server:
+        with pytest.raises(ValueError):
+            server.submit(np.zeros((8, 8, 3), np.float32))  # missing view axis
+    with pytest.raises(RuntimeError):
+        server.submit(_req(rng, n_views=1))  # after close
+
+
+def test_concurrent_submitters(rng):
+    fake = FakePredictor(delay_s=0.01)
+    results = {}
+
+    with BatchingServer(
+        fake, batch_size=8, n_views=1, max_wait_ms=20.0
+    ) as server:
+
+        def client(i):
+            results[i] = server.submit(_req(rng, n_views=1, value=float(i)))
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(16)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        outs = {i: f.result(timeout=30) for i, f in results.items()}
+    for i, out in outs.items():
+        np.testing.assert_allclose(out, float(i), rtol=1e-6)
+    assert server.stats()["requests"] == 16
+
+
+def test_real_model_end_to_end(rng):
+    """The nano SwinVox model through Predictor + server on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from swinvox_tpu.config import default_config
+    from swinvox_tpu.infer import Predictor
+    from swinvox_tpu.models import SwinVoxModel
+
+    cfg = default_config()
+    cfg.NETWORK.COMPUTE_DTYPE = "float32"
+    cfg.NETWORK.USE_PALLAS_WINDOW_ATTENTION = False
+    cfg.NETWORK.USE_PALLAS_SWIN_BLOCK = False
+    cfg.NETWORK.USE_SWIN_T_MULTI_STAGE = False
+    cfg.NETWORK.SWIN_T_STAGES = (3,)
+    cfg.NETWORK.USE_CROSS_VIEW_ATTENTION = False
+    cfg.NETWORK.SWIN_DEPTHS = (1, 1, 1, 1)
+    cfg.NETWORK.RESNET_STAGE_DEPTHS = (1, 1, 1)
+    cfg.CONST.N_VIEWS_RENDERING = 2
+    model = SwinVoxModel.from_config(cfg)
+    sample = jnp.zeros((1, 2, 224, 224, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    predictor = Predictor(model, variables, cfg)
+
+    with BatchingServer(predictor, batch_size=2) as server:
+        img = rng.uniform(-1, 1, (2, 224, 224, 3)).astype(np.float32)
+        out = server.submit(img).result(timeout=300)
+    assert out.shape == (32, 32, 32)
+    assert np.all(out >= 0) and np.all(out <= 1)
+
+
+def test_http_server(rng):
+    from swinvox_tpu.serve import _make_http_server
+
+    with BatchingServer(FakePredictor(), batch_size=2, n_views=1) as server:
+        httpd = _make_http_server(server, 0)  # ephemeral port
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            buf = io.BytesIO()
+            np.save(buf, _req(rng, n_views=1, value=3.0))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=buf.getvalue()
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                out = np.load(io.BytesIO(resp.read()))
+            np.testing.assert_allclose(out, 3.0, rtol=1e-6)
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30
+            ) as resp:
+                stats = np.array([])  # placeholder
+                import json as _json
+
+                stats = _json.loads(resp.read())
+            assert stats["requests"] == 1
+        finally:
+            httpd.shutdown()
