@@ -114,6 +114,18 @@ class NetworkConfig:
     # and overlaps the conv stack with its neighbors (measured 2013 ->
     # 1865 img/s at batch 128) — see ROADMAP.md item 1 for the next design
     USE_PALLAS_MERGER: bool = False
+    # whole-SwinBlock megakernel at inference (ops/pallas_swin_block.py):
+    # LN1+W-MSA+residual+LN2+MLP in one kernel (supersedes the W-MSA-only
+    # kernel on deterministic passes).  Measured at batch 128: 2012 ->
+    # 2222 img/s whole-model (+10%)
+    USE_PALLAS_SWIN_BLOCK: bool = True
+    # the TRAINING variant: forward with stochastic-depth factors plus a
+    # full in-kernel backward (flash-style recompute; weight grads
+    # accumulate in VMEM across the sequential grid).  The XLA swin
+    # backbone cost 86.6 ms of the 186 ms train step (fwd 34.6 + bwd
+    # 52.0, v5e trace at batch 64); with this kernel the whole step is
+    # 154.4 ms (344 -> 414 img/s, +20%), loss bit-identical
+    USE_PALLAS_SWIN_BLOCK_TRAIN: bool = True
     #   initialize backbones from converted pretrained weights when a
     #   checkpoint path is given.  The reference downloads pretrained
     #   ResNet-50/Swin-Tiny but then clobbers them with init_weights
@@ -170,6 +182,9 @@ class TrainConfig:
     # fetch loss scalars from the device every N batches (1 = reference
     # behavior; >1 keeps the TPU pipeline free of host round-trips)
     LOG_EVERY: int = 10
+    # split each batch into this many sequential micro-batches, averaging
+    # gradients before the optimizer update — lets BATCH_SIZE exceed HBM
+    GRAD_ACCUM_STEPS: int = 1
 
 
 @dataclass

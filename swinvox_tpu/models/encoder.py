@@ -41,6 +41,8 @@ class Encoder(nn.Module):
     swin_drop_path_rate: float = 0.1
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_pallas_swin_block: bool = False
+    use_pallas_swin_block_train: bool = False
     # backbone scale knobs (defaults = reference's ResNet-50 + Swin-Tiny;
     # smaller settings give cheap CI variants and a model-family axis)
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
@@ -66,6 +68,8 @@ class Encoder(nn.Module):
             drop_path_rate=self.swin_drop_path_rate,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            use_pallas_block=self.use_pallas_swin_block,
+            use_pallas_block_train=self.use_pallas_swin_block_train,
             name="swin",
         )(img, train)
         # reference wrapper: per selected stage LayerNorm([C,H,W]) + dropout

@@ -181,7 +181,14 @@ class WindowMSA(nn.Module):
 
 
 class SwinBlock(nn.Module):
-    """LN -> (S)W-MSA -> residual -> LN -> MLP -> residual."""
+    """LN -> (S)W-MSA -> residual -> LN -> MLP -> residual.
+
+    Two execution paths over ONE parameter layout: the XLA path (training,
+    CPU), or the whole-block Pallas megakernel at inference on TPU
+    (ops/pallas_swin_block.py) — every per-token op between the window
+    (un)partition permutations runs in one VMEM-resident kernel, removing
+    the per-block HBM round trips that make the backbone memory-bound.
+    """
 
     dim: int
     num_heads: int
@@ -190,6 +197,9 @@ class SwinBlock(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_pallas_block: bool = False
+    use_pallas_block_train: bool = False
+    pallas_interpret: bool = False  # CPU parity tests of the fused block
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
@@ -200,25 +210,113 @@ class SwinBlock(nn.Module):
         # no larger than the window — stage 3 at 224 input runs 7x7 with
         # window 7, where a shift would wrongly mask the single window
         shift = 0 if (h <= self.window and w <= self.window) else self.shift
+        mask = (
+            shifted_window_mask(h, w, self.window, shift) if shift > 0 else None
+        )
 
-        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        if shift > 0:
-            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
-            mask = shifted_window_mask(h, w, self.window, shift)
-        else:
-            mask = None
-        y = window_partition(y, self.window)
-        # The fused Pallas W-MSA wins at inference but its backward is an
-        # XLA recompute from x+weights, which costs ~16 ms/step at batch 64
-        # in training (measured) — gate the kernel to deterministic passes
-        y = WindowMSA(
+        norm1 = LayerNorm(dtype=self.dtype, name="norm1")
+        # The fused Pallas kernels win at inference but their backward is
+        # an XLA recompute from x+weights, which costs ~16 ms/step at
+        # batch 64 in training (measured) — gate them to deterministic
+        attn = WindowMSA(
             dim=self.dim,
             num_heads=self.num_heads,
             window=self.window,
             dtype=self.dtype,
             use_pallas=self.use_pallas and deterministic,
             name="attn",
-        )(y, mask)
+        )
+        norm2 = LayerNorm(dtype=self.dtype, name="norm2")
+        fc1 = Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")
+        fc2 = Dense(self.dim, dtype=self.dtype, name="mlp_fc2")
+
+        use_fused_block = (
+            (self.use_pallas_block and deterministic)
+            or (self.use_pallas_block_train and not deterministic)
+        ) and (self.pallas_interpret or jax.default_backend() == "tpu")
+        if use_fused_block:
+            from swinvox_tpu.ops.pallas_swin_block import (
+                fused_swin_block,
+                fused_swin_block_train,
+            )
+
+            # materialize the SAME param tree the XLA path creates by
+            # tracing each module on a tiny dummy (dead code to XLA),
+            # then run the whole block in one kernel on real data
+            tokens = self.window * self.window
+            dummy = jnp.zeros((1, 1, self.dim), self.dtype)
+            norm1(dummy)
+            attn(jnp.zeros((1, tokens, self.dim), self.dtype), None)
+            norm2(dummy)
+            fc1(dummy)
+            fc2(jnp.zeros((1, 1, 4 * self.dim), self.dtype))
+            n1 = norm1.variables["params"]["LayerNorm_0"]
+            n2 = norm2.variables["params"]["LayerNorm_0"]
+            av = attn.variables["params"]
+            f1 = fc1.variables["params"]["Dense_0"]
+            f2 = fc2.variables["params"]["Dense_0"]
+            idx = relative_position_index(self.window).reshape(-1)
+            rel_bias = (
+                av["rel_pos_bias_table"][idx]
+                .reshape(tokens, tokens, self.num_heads)
+                .transpose(2, 0, 1)
+            )
+
+            y = x
+            if shift > 0:
+                y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+            y = window_partition(y, self.window)
+            if deterministic:
+                y = fused_swin_block(
+                    y,
+                    n1["scale"], n1["bias"],
+                    av["qkv_kernel"].astype(self.dtype), av["qkv_bias"],
+                    av["proj_kernel"].astype(self.dtype), av["proj_bias"],
+                    rel_bias,
+                    None if mask is None else jnp.asarray(mask),
+                    n2["scale"], n2["bias"],
+                    f1["kernel"].astype(self.dtype), f1["bias"],
+                    f2["kernel"].astype(self.dtype), f2["bias"],
+                    num_heads=self.num_heads,
+                    interpret=self.pallas_interpret,
+                )
+            else:
+                # per-image stochastic-depth factors drawn through the
+                # SAME DropPath modules/rng stream as the XLA path (the
+                # factor is input-independent: DropPath(ones) = mask/keep)
+                ones = jnp.ones((b, 1, 1, 1), jnp.float32)
+                dp1 = DropPath(self.drop_path_rate, name="drop_path1")(
+                    ones, deterministic
+                ).reshape(b)
+                dp2 = DropPath(self.drop_path_rate, name="drop_path2")(
+                    ones, deterministic
+                ).reshape(b)
+                nw_per_img = (h // self.window) * (w // self.window)
+                y = fused_swin_block_train(
+                    y,
+                    jnp.repeat(dp1, nw_per_img),
+                    jnp.repeat(dp2, nw_per_img),
+                    n1["scale"], n1["bias"],
+                    av["qkv_kernel"].astype(self.dtype), av["qkv_bias"],
+                    av["proj_kernel"].astype(self.dtype), av["proj_bias"],
+                    rel_bias,
+                    None if mask is None else jnp.asarray(mask),
+                    n2["scale"], n2["bias"],
+                    f1["kernel"].astype(self.dtype), f1["bias"],
+                    f2["kernel"].astype(self.dtype), f2["bias"],
+                    num_heads=self.num_heads,
+                    interpret=self.pallas_interpret,
+                )
+            y = window_unpartition(y, self.window, h, w)
+            if shift > 0:
+                y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
+            return y
+
+        y = norm1(x)
+        if shift > 0:
+            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+        y = window_partition(y, self.window)
+        y = attn(y, mask)
         y = window_unpartition(y, self.window, h, w)
         if shift > 0:
             y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
@@ -226,10 +324,10 @@ class SwinBlock(nn.Module):
             y, deterministic
         )
 
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(y)
+        y = norm2(x)
+        y = fc1(y)
         y = nn.gelu(y, approximate=False)
-        y = Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        y = fc2(y)
         return x + DropPath(self.drop_path_rate, name="drop_path2")(
             y, deterministic
         )
@@ -269,6 +367,9 @@ class SwinTiny(nn.Module):
     img_size: int = 224
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    use_pallas_block: bool = False
+    use_pallas_block_train: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> List[jax.Array]:
@@ -316,6 +417,9 @@ class SwinTiny(nn.Module):
                     drop_path_rate=float(dp_rates[block_idx]),
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
+                    use_pallas_block=self.use_pallas_block,
+                    use_pallas_block_train=self.use_pallas_block_train,
+                    pallas_interpret=self.pallas_interpret,
                     name=f"stage{stage_idx}_block{d}",
                 )(x, deterministic=not train)
                 block_idx += 1

@@ -52,6 +52,8 @@ class SwinVoxModel(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
     use_pallas_merger: bool = False
+    use_pallas_swin_block: bool = False
+    use_pallas_swin_block_train: bool = False
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
     resnet_stage_depths: Tuple[int, int, int] = (3, 4, 6)
 
@@ -72,6 +74,8 @@ class SwinVoxModel(nn.Module):
             dtype=_dtype_from_str(net.COMPUTE_DTYPE),
             use_pallas=net.USE_PALLAS_WINDOW_ATTENTION,
             use_pallas_merger=net.USE_PALLAS_MERGER,
+            use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
+            use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
             swin_depths=tuple(net.SWIN_DEPTHS),
             resnet_stage_depths=tuple(net.RESNET_STAGE_DEPTHS),
         )
@@ -93,6 +97,8 @@ class SwinVoxModel(nn.Module):
             att_spatial_downsample_ratio=self.att_spatial_downsample_ratio,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            use_pallas_swin_block=self.use_pallas_swin_block,
+            use_pallas_swin_block_train=self.use_pallas_swin_block_train,
             swin_depths=self.swin_depths,
             resnet_stage_depths=self.resnet_stage_depths,
             name="encoder",

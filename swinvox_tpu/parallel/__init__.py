@@ -5,5 +5,6 @@ from swinvox_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated,
     shard_batch,
+    shard_batch_views,
     shard_params,
 )

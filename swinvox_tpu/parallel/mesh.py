@@ -111,6 +111,32 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_batch_views(batch: Any, mesh: Mesh) -> Any:
+    """Context/sequence-parallel placement: shard the VIEW axis too.
+
+    Images [B, N, H, W, C] go out as P('data', 'model') — each model-axis
+    device holds a slice of the views, and GSPMD inserts the all-gathers
+    the cross-view attention (attention over the N axis,
+    models/cross_view.py) and the merger's softmax-over-views need.  The
+    reference has no analogue (its max sequence is n_views <= 24); this is
+    the demonstration CP path from SURVEY.md §2.  Volumes have no view
+    axis and stay P('data').
+
+    Requires n_views % mesh.shape['model'] == 0.
+    """
+    img_sharding = NamedSharding(mesh, P("data", "model"))
+    data_sharding = batch_sharding(mesh)
+
+    def place(key_is_images, x):
+        return jax.device_put(
+            x, img_sharding if key_is_images else data_sharding
+        )
+
+    return {
+        k: place(k == "images", v) for k, v in batch.items()
+    }
+
+
 def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
     """Wrap a host batch iterator with device-side double buffering.
 

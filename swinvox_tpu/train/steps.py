@@ -37,25 +37,24 @@ def make_train_step(
     model: SwinVoxModel,
     optimizers: Dict[str, optax.GradientTransformation],
     donate: bool = True,
+    grad_accum_steps: int = 1,
 ) -> Callable:
     """Returns train_step(state, images, volumes, rng, enable_merger,
-    enable_refiner) -> (state, metrics)."""
+    enable_refiner) -> (state, metrics).
 
-    def train_step(
-        state: TrainState,
-        images: jax.Array,  # [B, N, H, W, 3] float32
-        volumes: jax.Array,  # [B, D, H, W] float32 {0,1}
-        rng: jax.Array,
-        enable_merger: bool,
-        enable_refiner: bool,
-    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        images = jnp.clip(images, -1.0, 1.0)
-        volumes = jnp.clip(volumes, 0.0, 1.0)
-        dropout_rng = jax.random.fold_in(rng, state.step)
+    With grad_accum_steps > 1 the batch is split into that many equal
+    micro-batches scanned sequentially: gradients are averaged across
+    micro-batches before the single optimizer update, and BatchNorm
+    running statistics advance once per micro-batch (the same sequential
+    semantics torch gets when accumulating).  Lets the effective batch
+    exceed what fits in HBM at ~no extra memory.
+    """
 
+    def micro_grads(params, batch_stats, images, volumes, dropout_rng,
+                    enable_merger, enable_refiner):
         def loss_fn(params):
             out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 images,
                 train=True,
                 enable_merger=enable_merger,
@@ -72,9 +71,58 @@ def make_train_step(
                 total = encoder_loss
             return total, (encoder_loss, refiner_loss, mutated["batch_stats"])
 
-        grads, (encoder_loss, refiner_loss, new_batch_stats) = jax.grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        return jax.grad(loss_fn, has_aux=True)(params)
+
+    def train_step(
+        state: TrainState,
+        images: jax.Array,  # [B, N, H, W, 3] float32
+        volumes: jax.Array,  # [B, D, H, W] float32 {0,1}
+        rng: jax.Array,
+        enable_merger: bool,
+        enable_refiner: bool,
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        images = jnp.clip(images, -1.0, 1.0)
+        volumes = jnp.clip(volumes, 0.0, 1.0)
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        if grad_accum_steps == 1:
+            grads, (encoder_loss, refiner_loss, new_batch_stats) = micro_grads(
+                state.params, state.batch_stats, images, volumes,
+                dropout_rng, enable_merger, enable_refiner,
+            )
+        else:
+            b = images.shape[0]
+            assert b % grad_accum_steps == 0, (
+                f"batch {b} not divisible by grad_accum_steps "
+                f"{grad_accum_steps}"
+            )
+            micro = b // grad_accum_steps
+            images_r = images.reshape((grad_accum_steps, micro) + images.shape[1:])
+            volumes_r = volumes.reshape(
+                (grad_accum_steps, micro) + volumes.shape[1:]
+            )
+
+            def body(carry, xs):
+                grads_acc, batch_stats, el_acc, rl_acc = carry
+                micro_images, micro_volumes, idx = xs
+                g, (el, rl, new_stats) = micro_grads(
+                    state.params, batch_stats, micro_images, micro_volumes,
+                    jax.random.fold_in(dropout_rng, idx),
+                    enable_merger, enable_refiner,
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                return (grads_acc, new_stats, el_acc + el, rl_acc + rl), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_batch_stats, el_sum, rl_sum), _ = jax.lax.scan(
+                body,
+                (zero_grads, state.batch_stats, 0.0, 0.0),
+                (images_r, volumes_r, jnp.arange(grad_accum_steps)),
+            )
+            inv = 1.0 / grad_accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            encoder_loss = el_sum * inv
+            refiner_loss = rl_sum * inv
 
         active = {
             "encoder": True,

@@ -56,7 +56,9 @@ def train_net(cfg: Config) -> float:
         opt_states=shard_params(state.opt_states, mesh),
         step=jax.device_put(state.step, replicated(mesh)),
     )
-    train_step = make_train_step(model, optimizers)
+    train_step = make_train_step(
+        model, optimizers, grad_accum_steps=cfg.TRAIN.GRAD_ACCUM_STEPS
+    )
 
     init_epoch, best_iou, best_epoch = 0, -1.0, -1
     if cfg.CONST.WEIGHTS and cfg.TRAIN.RESUME_TRAIN:

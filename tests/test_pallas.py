@@ -204,3 +204,150 @@ def test_merger_fused_training_falls_back_to_xla(rng):
         mut_fused["batch_stats"],
         mut_ref["batch_stats"],
     )
+
+
+# ------------------------------------------------------ fused swin block
+
+
+@pytest.mark.parametrize(
+    "shift,dim,heads,hw", [(0, 96, 3, 14), (3, 96, 3, 14), (3, 192, 6, 28)]
+)
+def test_swin_block_megakernel_parity(rng, shift, dim, heads, hw):
+    """The whole-block kernel (LN1+W-MSA+res+LN2+MLP+res) == the XLA
+    SwinBlock at inference, with identical parameter trees."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.models.swin import SwinBlock
+
+    x = jnp.asarray(
+        (rng.standard_normal((2, hw, hw, dim)) * 0.5).astype(np.float32)
+    )
+    ref_blk = SwinBlock(
+        dim=dim, num_heads=heads, shift=shift, drop_path_rate=0.0,
+        dtype=jnp.float32,
+    )
+    v = ref_blk.init(jax.random.PRNGKey(1), x, True)
+    # jitter every param so LN affines and biases are non-trivial
+    leaves, treedef = tu.tree_flatten(v["params"])
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    params = treedef.unflatten(
+        [l + 0.05 * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)]
+    )
+    out_ref = ref_blk.apply({"params": params}, x, True)
+
+    fused_blk = SwinBlock(
+        dim=dim, num_heads=heads, shift=shift, drop_path_rate=0.0,
+        dtype=jnp.float32, use_pallas_block=True, pallas_interpret=True,
+    )
+    v2 = fused_blk.init(jax.random.PRNGKey(1), x, True)
+    assert tu.tree_structure(v2["params"]) == tu.tree_structure(v["params"])
+    out_fused = fused_blk.apply({"params": params}, x, True)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_swin_block_megakernel_training_uses_xla(rng):
+    """deterministic=False must take the XLA path (DropPath active, fused
+    kernel has no VJP) — outputs match the plain block exactly."""
+    from swinvox_tpu.models.swin import SwinBlock
+
+    x = jnp.asarray(
+        (rng.standard_normal((1, 14, 14, 96)) * 0.5).astype(np.float32)
+    )
+    ref_blk = SwinBlock(
+        dim=96, num_heads=3, shift=3, drop_path_rate=0.1, dtype=jnp.float32
+    )
+    fused_blk = SwinBlock(
+        dim=96, num_heads=3, shift=3, drop_path_rate=0.1,
+        dtype=jnp.float32, use_pallas_block=True, pallas_interpret=True,
+    )
+    v = ref_blk.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x, False,
+    )
+    out_ref = ref_blk.apply(
+        v, x, False, rngs={"dropout": jax.random.PRNGKey(3)}
+    )
+    out_fused = fused_blk.apply(
+        v, x, False, rngs={"dropout": jax.random.PRNGKey(3)}
+    )
+    np.testing.assert_array_equal(np.asarray(out_fused), np.asarray(out_ref))
+
+
+def test_erf_polynomial_accuracy():
+    from swinvox_tpu.ops.pallas_swin_block import _erf
+
+    x = jnp.linspace(-5.0, 5.0, 2001)
+    import scipy.special
+
+    # A&S bound is 1.5e-7 in exact arithmetic; f32 rounding adds a bit
+    np.testing.assert_allclose(
+        np.asarray(_erf(x)), scipy.special.erf(np.asarray(x)), atol=5e-7
+    )
+
+
+@pytest.mark.parametrize(
+    "shift,dim,heads,hw,rate",
+    [(0, 96, 3, 14, 0.0), (3, 96, 3, 14, 0.0), (3, 192, 6, 28, 0.0),
+     (3, 96, 3, 14, 0.5)],
+)
+def test_swin_block_train_kernel_grad_parity(rng, shift, dim, heads, hw, rate):
+    """The differentiable fused block (in-kernel backward) matches the XLA
+    SwinBlock in loss, input grad, and EVERY parameter grad — including
+    stochastic-depth runs, where both paths draw the same DropPath masks."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.models.swin import SwinBlock
+
+    x = jnp.asarray(
+        (rng.standard_normal((2, hw, hw, dim)) * 0.5).astype(np.float32)
+    )
+    tgt = jnp.asarray(rng.standard_normal((2, hw, hw, dim)).astype(np.float32))
+
+    def make(fused):
+        return SwinBlock(
+            dim=dim, num_heads=heads, shift=shift, drop_path_rate=rate,
+            dtype=jnp.float32, use_pallas_block_train=fused,
+            pallas_interpret=fused,
+        )
+
+    ref, fus = make(False), make(True)
+    v = ref.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(9)},
+        x, False,
+    )
+    leaves, treedef = tu.tree_flatten(v["params"])
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    params = treedef.unflatten(
+        [l + 0.05 * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)]
+    )
+
+    def loss(mod):
+        def f(p, xx):
+            out = mod.apply(
+                {"params": p}, xx, False, rngs={"dropout": jax.random.PRNGKey(3)}
+            )
+            return jnp.sum((out - tgt) ** 2)
+        return f
+
+    l_ref, (gp_ref, gx_ref) = jax.value_and_grad(
+        loss(ref), argnums=(0, 1)
+    )(params, x)
+    l_fus, (gp_fus, gx_fus) = jax.value_and_grad(
+        loss(fus), argnums=(0, 1)
+    )(params, x)
+
+    np.testing.assert_allclose(float(l_fus), float(l_ref), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gx_fus), np.asarray(gx_ref), rtol=2e-3, atol=2e-3
+    )
+    key_of = lambda kv: tu.keystr(kv[0])  # noqa: E731
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(gp_ref)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(gp_fus)[0], key=key_of),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3,
+            err_msg=tu.keystr(pth),
+        )

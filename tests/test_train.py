@@ -274,6 +274,106 @@ def test_mesh_sharded_eval_equivalence(setup):
         )
 
 
+def test_gradient_accumulation(setup):
+    """accum=2 over a duplicated batch == one step on the single batch:
+    each micro-batch is identical, so per-micro BN statistics and the
+    averaged gradient match the unaccumulated step (up to dropout masks,
+    which draw a different fold per micro-batch)."""
+    cfg, model, state, optimizers, train_step, images, vols = setup
+
+    s1, m1 = train_step(
+        state, images, vols, jax.random.PRNGKey(0),
+        enable_merger=True, enable_refiner=True,
+    )
+
+    accum_step = make_train_step(
+        model, optimizers, donate=False, grad_accum_steps=2
+    )
+    images2 = jnp.concatenate([images, images])
+    vols2 = jnp.concatenate([vols, vols])
+    s2, m2 = accum_step(
+        state, images2, vols2, jax.random.PRNGKey(0),
+        enable_merger=True, enable_refiner=True,
+    )
+
+    # losses agree closely (dropout masks are the only noise source)
+    assert float(m2["total_loss"]) == pytest.approx(
+        float(m1["total_loss"]), rel=0.05
+    )
+    # parameters moved and track the unaccumulated update closely
+    l1 = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(s1.params["decoder"])]
+    )
+    l2 = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(s2.params["decoder"])]
+    )
+    l0 = np.concatenate(
+        [np.ravel(x) for x in jax.tree.leaves(state.params["decoder"])]
+    )
+    assert not np.allclose(l2, l0)  # an update happened
+    # the two updates mostly point the same way; dropout draws a fresh
+    # mask per micro-batch, so near-zero-grad elements flip sign freely
+    # (measured ~0.82 agreement on this fixture; a broken accumulation
+    # path — e.g. summing instead of averaging into Adam — drops to ~0.5)
+    d1, d2 = l1 - l0, l2 - l0
+    agree = np.mean(np.sign(d1[d1 != 0]) == np.sign(d2[d1 != 0]))
+    assert agree > 0.7
+    # BatchNorm statistics advanced twice (sequential micro-batches)
+    bs0 = jax.tree.leaves(state.batch_stats)[0]
+    bs2 = jax.tree.leaves(s2.batch_stats)[0]
+    assert not np.allclose(np.asarray(bs2), np.asarray(bs0))
+    # step counter advances once per optimizer update
+    assert int(s2.step) == int(state.step) + 1
+
+    # indivisible batch is rejected
+    with pytest.raises(AssertionError):
+        accum_step(
+            state, images[:3], vols[:3], jax.random.PRNGKey(0),
+            enable_merger=True, enable_refiner=True,
+        )
+
+
+def test_view_axis_context_parallel_eval(setup):
+    """Sharding the VIEW axis over the model mesh axis (the CP demo path)
+    gives the same eval metrics as single-device: GSPMD inserts the
+    all-gathers the cross-view ops need."""
+    import copy
+
+    from swinvox_tpu.parallel import (
+        build_mesh,
+        replicated,
+        shard_batch_views,
+        shard_params,
+    )
+
+    cfg, model, state, optimizers, train_step, images, vols = setup
+    eval_step = make_eval_step(model)
+    single = eval_step(
+        state.params, state.batch_stats, images, vols,
+        enable_merger=True, enable_refiner=True,
+    )
+
+    cfg_cp = copy.deepcopy(cfg)
+    cfg_cp.PARALLEL.MODEL_PARALLEL = 2  # n_views=2 shards over 'model'
+    mesh = build_mesh(cfg_cp, devices=jax.devices()[:8])
+    params = shard_params(state.params, mesh)
+    batch_stats = jax.device_put(state.batch_stats, replicated(mesh))
+    batch = shard_batch_views({"images": images, "volumes": vols}, mesh)
+    assert batch["images"].sharding.spec == jax.sharding.PartitionSpec(
+        "data", "model"
+    )
+    with mesh:
+        sharded = eval_step(
+            params, batch_stats, batch["images"], batch["volumes"],
+            enable_merger=True, enable_refiner=True,
+        )
+    for key in ("iou", "fscore", "encoder_loss", "refiner_loss"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[key]), np.asarray(single[key]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
 def test_init_scheme_switch():
     import jax
     import jax.numpy as jnp
