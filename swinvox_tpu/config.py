@@ -114,6 +114,10 @@ class NetworkConfig:
     # and overlaps the conv stack with its neighbors (measured 2013 ->
     # 1865 img/s at batch 128) — see ROADMAP.md item 1 for the next design
     USE_PALLAS_MERGER: bool = False
+    # training-path merger convs through the differentiable banded Pallas
+    # conv (ops/pallas_band_conv.py): in-kernel input/weight grads for
+    # the 9-channel Conv3d stack XLA runs at 35-70 GB/s effective
+    USE_PALLAS_MERGER_TRAIN: bool = False
     # whole-SwinBlock megakernel at inference (ops/pallas_swin_block.py):
     # LN1+W-MSA+residual+LN2+MLP in one kernel (supersedes the W-MSA-only
     # kernel on deterministic passes).  Measured at batch 128: 2012 ->

@@ -35,6 +35,10 @@ class Merger(nn.Module):
     leaky_value: float = 0.2
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
+    # training path: run each conv through the differentiable banded
+    # Pallas conv (ops/pallas_band_conv.py) — in-kernel input/weight
+    # gradients; BN/bias/LeakyReLU stay in XLA
+    use_pallas_train: bool = False
     # run the fused kernel in the Pallas interpreter (CPU parity tests)
     pallas_interpret: bool = False
 
@@ -86,20 +90,45 @@ class Merger(nn.Module):
                 interpret=self.pallas_interpret,
             ).reshape(b, n_views, 32, 32, 32)
         else:
+            use_band = (
+                self.use_pallas_train
+                and train
+                and (
+                    self.pallas_interpret
+                    or jax.default_backend() == "tpu"
+                )
+            )
+
+            def conv(i, y):
+                if not use_band:
+                    return convs[i](y)
+                # same dummy-trace trick as the fused branch: materialize
+                # the identical param tree, then run the banded kernel
+                from swinvox_tpu.ops.pallas_band_conv import band_conv3d
+
+                ci = _CHANNELS[i][0]
+                convs[i](jnp.zeros((1, 3, 3, 3, ci), self.dtype))
+                cp = convs[i].variables["params"]["Conv_0"]
+                out = band_conv3d(
+                    y, cp["kernel"].astype(self.dtype),
+                    interpret=self.pallas_interpret,
+                )
+                return out + cp["bias"].astype(out.dtype)
+
             intermediates = []
             y = x
             for i in range(4):
-                y = convs[i](y)
+                y = conv(i, y)
                 y = norms[i](y, train)
                 y = nn.leaky_relu(y, self.leaky_value)
                 intermediates.append(y)
 
             y = jnp.concatenate(intermediates, axis=-1)  # [BN, 32^3, 36]
-            y = convs[4](y)
+            y = conv(4, y)
             y = norms[4](y, train)
             y = nn.leaky_relu(y, self.leaky_value)
 
-            y = convs[5](y)
+            y = conv(5, y)
             y = norms[5](y, train)
             y = nn.leaky_relu(y, self.leaky_value)
             weights = y.reshape(b, n_views, 32, 32, 32)

@@ -52,6 +52,7 @@ class SwinVoxModel(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = False
     use_pallas_merger: bool = False
+    use_pallas_merger_train: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
@@ -74,6 +75,7 @@ class SwinVoxModel(nn.Module):
             dtype=_dtype_from_str(net.COMPUTE_DTYPE),
             use_pallas=net.USE_PALLAS_WINDOW_ATTENTION,
             use_pallas_merger=net.USE_PALLAS_MERGER,
+            use_pallas_merger_train=net.USE_PALLAS_MERGER_TRAIN,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
             use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
             swin_depths=tuple(net.SWIN_DEPTHS),
@@ -113,6 +115,7 @@ class SwinVoxModel(nn.Module):
                 leaky_value=self.leaky_value,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_merger,
+                use_pallas_train=self.use_pallas_merger_train,
                 name="merger",
             )(raw_features, coarse, train)
         else:

@@ -351,3 +351,108 @@ def test_swin_block_train_kernel_grad_parity(rng, shift, dim, heads, hw, rate):
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3,
             err_msg=tu.keystr(pth),
         )
+
+
+# ------------------------------------------------------ banded conv3d
+
+
+@pytest.mark.parametrize("ci,co", [(9, 9), (36, 9), (9, 1)])
+def test_band_conv3d_grad_parity(rng, ci, co):
+    """band_conv3d == SAME-padded lax conv in value, input grad, and
+    kernel grad (interpret mode)."""
+    from swinvox_tpu.ops.pallas_band_conv import band_conv3d
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 32, ci)), jnp.float32)
+    k = jnp.asarray(
+        rng.standard_normal((3, 3, 3, ci, co)) * 0.1, jnp.float32
+    )
+    t = jnp.asarray(rng.standard_normal((2, 32, 32, 32, co)), jnp.float32)
+
+    def ref_conv(x, k):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+
+    def loss(fn):
+        return lambda x, k: jnp.sum((fn(x, k) - t) ** 2)
+
+    l0, (gx0, gk0) = jax.value_and_grad(loss(ref_conv), (0, 1))(x, k)
+    l1, (gx1, gk1) = jax.value_and_grad(
+        loss(lambda x, k: band_conv3d(x, k, interpret=True)), (0, 1)
+    )(x, k)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gx1), np.asarray(gx0), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gk1), np.asarray(gk0), rtol=1e-4, atol=1e-3
+    )
+
+
+def test_merger_band_train_parity(rng):
+    """Merger with the banded training convs == the XLA merger: output,
+    BN batch-stats updates, and gradients (conv biases excluded — their
+    gradient is cancellation-dominated in BOTH paths: BN directly after
+    each conv makes it mathematically ~0; verified against f64 truth the
+    band path deviates no more than XLA f32)."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.models.merger import Merger
+
+    raw = jnp.asarray(
+        rng.standard_normal((2, 3, 32, 32, 32, 9)), jnp.float32
+    )
+    coarse = jnp.asarray(
+        rng.standard_normal((2, 3, 32, 32, 32)), jnp.float32
+    )
+    ref = Merger(dtype=jnp.float32)
+    band = Merger(
+        dtype=jnp.float32, use_pallas_train=True, pallas_interpret=True
+    )
+    v = ref.init(jax.random.PRNGKey(0), raw, coarse, True)
+    assert tu.tree_structure(
+        band.init(jax.random.PRNGKey(0), raw, coarse, True)
+    ) == tu.tree_structure(v)
+
+    def loss(mod):
+        def f(p, raw):
+            out, mut = mod.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                raw, coarse, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2), (out, mut)
+        return f
+
+    (l0, (out0, mut0)), g0 = jax.value_and_grad(
+        loss(ref), has_aux=True
+    )(v["params"], raw)
+    (l1, (out1, mut1)), g1 = jax.value_and_grad(
+        loss(band), has_aux=True
+    )(v["params"], raw)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), rtol=1e-4, atol=1e-5
+    )
+    key_of = lambda kv: tu.keystr(kv[0])  # noqa: E731
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(mut0)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(mut1)[0], key=key_of),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=tu.keystr(pth),
+        )
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(g0)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(g1)[0], key=key_of),
+    ):
+        name = tu.keystr(pth)
+        if "Conv_0']['bias" in name:
+            continue
+        scale = np.abs(np.asarray(a)).max() + 1e-6
+        diff = np.abs(np.asarray(b) - np.asarray(a)).max()
+        assert diff <= 5e-3 * scale, f"{name}: {diff} vs scale {scale}"
