@@ -118,6 +118,11 @@ class NetworkConfig:
     # conv (ops/pallas_band_conv.py): in-kernel input/weight grads for
     # the 9-channel Conv3d stack XLA runs at 35-70 GB/s effective
     USE_PALLAS_MERGER_TRAIN: bool = False
+    # tap-unrolled custom backward for the refiner's 1-channel first conv
+    # (ops/unrolled_conv.py — pure XLA reassociation; fwd unchanged).
+    # Off: measured 153.7 -> 298.6 ms/step at batch 64 — the chunked
+    # patch-stack scan lowers far worse than XLA's own kernel-grad conv
+    REFINER_UNROLLED_CONV: bool = False
     # whole-SwinBlock megakernel at inference (ops/pallas_swin_block.py):
     # LN1+W-MSA+residual+LN2+MLP in one kernel (supersedes the W-MSA-only
     # kernel on deterministic passes).  Measured at batch 128: 2012 ->

@@ -29,14 +29,29 @@ class Refiner(nn.Module):
     leaky_value: float = 0.2
     tconv_use_bias: bool = False
     dtype: Dtype = jnp.bfloat16
+    # tap-unrolled custom backward for the 1-channel first conv
+    # (ops/unrolled_conv.py) — same forward, reassociated adjoints.
+    # Off by default (slower in the full step; see PERFORMANCE.md)
+    unrolled_first_conv: bool = False
 
     @nn.compact
     def __call__(self, coarse_volumes: jax.Array, train: bool) -> jax.Array:
         x32 = coarse_volumes[..., None].astype(self.dtype)  # [B, 32^3, 1]
 
         def down(x, feats, name):
-            y = Conv(feats, (4, 4, 4), padding=2, dtype=self.dtype,
-                     name=f"{name}_conv")(x)
+            conv = Conv(feats, (4, 4, 4), padding=2, dtype=self.dtype,
+                        name=f"{name}_conv")
+            if self.unrolled_first_conv and x.shape[-1] == 1:
+                from swinvox_tpu.ops.unrolled_conv import conv3d_1ch
+
+                # materialize the identical param tree, then run the
+                # custom-backward op (forward is the same lax conv)
+                conv(jnp.zeros((1, 4, 4, 4, 1), self.dtype))
+                cp = conv.variables["params"]["Conv_0"]
+                y = conv3d_1ch(x, cp["kernel"].astype(self.dtype))
+                y = y + cp["bias"].astype(y.dtype)
+            else:
+                y = conv(x)
             y = Norm(dtype=self.dtype, name=f"{name}_bn")(y, train)
             y = nn.leaky_relu(y, self.leaky_value)
             return max_pool(y, 2)  # k4 p2 grows 32->33; pool floors to 16

@@ -53,6 +53,7 @@ class SwinVoxModel(nn.Module):
     use_pallas: bool = False
     use_pallas_merger: bool = False
     use_pallas_merger_train: bool = False
+    refiner_unrolled_conv: bool = True
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
@@ -76,6 +77,7 @@ class SwinVoxModel(nn.Module):
             use_pallas=net.USE_PALLAS_WINDOW_ATTENTION,
             use_pallas_merger=net.USE_PALLAS_MERGER,
             use_pallas_merger_train=net.USE_PALLAS_MERGER_TRAIN,
+            refiner_unrolled_conv=net.REFINER_UNROLLED_CONV,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
             use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
             swin_depths=tuple(net.SWIN_DEPTHS),
@@ -128,6 +130,7 @@ class SwinVoxModel(nn.Module):
                 leaky_value=self.leaky_value,
                 tconv_use_bias=self.tconv_use_bias,
                 dtype=self.dtype,
+                unrolled_first_conv=self.refiner_unrolled_conv,
                 name="refiner",
             )(merged, train)
         else:
