@@ -5,10 +5,11 @@ cross-view attention + merger + refiner, bfloat16) on synthetic 224^2
 1-view batches, end to end:
 
   * TRAINING (the headline): one jitted train step — forward, both BCE
-    losses, backward, all four per-module Adam updates — at batch 64,
-    1 view, merger+refiner enabled.  Baseline: the reference's only
-    recorded throughput, ~70 images/s TRAINING on a Colab GPU at the same
-    batch/view shape (BASELINE.md; Notebooks cell 47) — apples to apples.
+    losses, backward, all four per-module Adam updates — at batch 128
+    (the measured single-chip sweet spot: 417/492/552/476/518 img/s at
+    batch 64/96/128/192/256), 1 view, merger+refiner enabled.
+    Baseline: the reference's only recorded throughput, ~70 images/s
+    TRAINING on a Colab GPU (BASELINE.md; Notebooks cell 47).
   * INFERENCE (carried in the same JSON line): encoder -> decoder ->
     merger -> refiner -> sigmoid at batch 128.
 
@@ -31,11 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_TRAIN_IMAGES_PER_SEC = 70.0
-TRAIN_BATCH = 64
+TRAIN_BATCH = 128
 INFER_BATCH = 128
 N_VIEWS = 1
 NSTEPS_INFER = 30
-NSTEPS_TRAIN = 12
+NSTEPS_TRAIN = 10
 
 
 def _measure(fn, n_steps, n_trials=4):
