@@ -53,7 +53,7 @@ class SwinVoxModel(nn.Module):
     use_pallas: bool = False
     use_pallas_merger: bool = False
     use_pallas_merger_train: bool = False
-    refiner_unrolled_conv: bool = True
+    refiner_unrolled_conv: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)

@@ -8,14 +8,16 @@ XLA's forward (which is fine) and replaces the backward with
 reshaped-matmul formulations that keep the lane dimension wide:
 
   * weight grad: contract 4^3-tap patch stacks of x (64 lanes) against
-    dout (32 lanes) in ONE [B*33^3, 64]^T @ [B*33^3, 32] matmul;
-  * input grad: contract dout with the kernel over output channels
-    first — [B*33^3, 32] @ [32, 64] — then fold the 64 per-tap planes
-    back with shifted-slice adds (XLA fuses them into one loop).
+    dout (32 lanes) as [cb*33^3, 64]^T @ [cb*33^3, 32] matmuls,
+    batch-chunked via lax.scan to bound the patch buffer;
+  * input grad: XLA's own transposed conv — already fast for this
+    direction (the 1-lane output tensor is small).
 
-Both are algebraically identical to the conv adjoints (pure
+The weight grad is algebraically identical to the conv adjoint (pure
 reassociation); parity is pinned in tests/test_pallas.py.  Pure XLA —
-no Pallas, so no fusion barriers; works on every backend.
+no Pallas, so no fusion barriers; works on every backend.  NOTE:
+measured SLOWER than XLA's kernel-grad conv in the full train step
+(153.7 -> 298.6 ms at batch 64, PERFORMANCE.md) — off by default.
 """
 
 from __future__ import annotations

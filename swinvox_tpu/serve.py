@@ -22,9 +22,8 @@ Design, TPU-first:
   * micro-batching: the dispatcher thread coalesces whatever is queued
     (up to `batch_size`, waiting at most `max_wait_ms` after the first
     request) into one padded device batch, so tail latency is bounded
-    while bulk traffic rides full batches.
-  * device double-buffering: the next batch is assembled on host while
-    the previous executes — the TPU never waits on Python.
+    while bulk traffic rides full batches.  All requests share one
+    static H/W (pinned by the first request — one compiled program).
 
 `python -m swinvox_tpu.serve --checkpoint ckpt [--port 8000]` exposes the
 same path over stdlib HTTP (POST /predict with a raw float32 npy body).
@@ -99,6 +98,7 @@ class BatchingServer:
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        self._hw = None  # static image H/W, pinned by the first request
         self._stats = {
             "requests": 0,
             "batches": 0,
@@ -117,9 +117,21 @@ class BatchingServer:
         Returns a Future resolving to the [D, H, W] probability volume.
         """
         images = np.asarray(images, dtype=np.float32)
-        if images.ndim != 4 or images.shape[-1] != 3:
+        if images.ndim != 4 or images.shape[-1] != 3 or images.shape[0] < 1:
             raise ValueError(
-                f"expected [n_views, H, W, 3], got {images.shape}"
+                f"expected [n_views >= 1, H, W, 3], got {images.shape}"
+            )
+        # all requests in a server share one static H/W (one compiled
+        # program); pin it from the first request and reject mismatches
+        # here, in the CLIENT thread — a bad shape must never reach the
+        # dispatcher
+        with self._lock:
+            if self._hw is None:
+                self._hw = images.shape[1:3]
+        if images.shape[1:3] != self._hw:
+            raise ValueError(
+                f"image H/W {images.shape[1:3]} != server's {self._hw} "
+                "(fixed by the first request)"
             )
         if self._stop.is_set():
             raise RuntimeError("server is closed")
@@ -177,33 +189,27 @@ class BatchingServer:
         return reqs
 
     def _dispatch_loop(self) -> None:
-        pending = None  # (reqs, result_device_or_np) being finalized
         while not self._stop.is_set() or not self._queue.empty():
             reqs = self._take_batch()
             if not reqs:
-                if pending is not None:
-                    self._finalize(*pending)
-                    pending = None
                 continue
-            batch = np.zeros(
-                (self.batch_size, self.n_views) + reqs[0].images.shape[1:],
-                dtype=np.float32,
-            )
-            for i, r in enumerate(reqs):
-                batch[i] = r.images
-            # launch is async on TPU: predictor.predict returns after
-            # dispatch; finalizing the PREVIOUS batch overlaps this one
+            # submit() pins H/W, so assembly cannot shape-mismatch; wrap
+            # the whole batch anyway — an exception escaping this loop
+            # would kill the dispatcher and hang every future forever
             try:
+                batch = np.zeros(
+                    (self.batch_size, self.n_views)
+                    + reqs[0].images.shape[1:],
+                    dtype=np.float32,
+                )
+                for i, r in enumerate(reqs):
+                    batch[i] = r.images
                 result = self.predictor.predict(batch)
             except Exception as e:  # surface compile/runtime errors
                 for r in reqs:
                     r.future.set_exception(e)
                 continue
-            if pending is not None:
-                self._finalize(*pending)
-            pending = (reqs, result)
-        if pending is not None:
-            self._finalize(*pending)
+            self._finalize(reqs, result)
 
     def _finalize(self, reqs: list, result) -> None:
         out = np.asarray(result)

@@ -57,15 +57,24 @@ def train_net(cfg: Config) -> float:
         step=jax.device_put(state.step, replicated(mesh)),
     )
     train_step = make_train_step(
-        model, optimizers, grad_accum_steps=cfg.TRAIN.GRAD_ACCUM_STEPS
+        model, optimizers, grad_accum_steps=cfg.TRAIN.GRAD_ACCUM_STEPS,
+        mesh=mesh,
     )
 
     init_epoch, best_iou, best_epoch = 0, -1.0, -1
     if cfg.CONST.WEIGHTS and cfg.TRAIN.RESUME_TRAIN:
         state, meta = load_checkpoint(cfg.CONST.WEIGHTS, state)
-        init_epoch = meta["epoch_idx"]
-        best_iou = meta["best_iou"]
-        best_epoch = meta["best_epoch"]
+        if meta.get("format") == "params-only":
+            # weights-only export: no optimizer state or epoch counters —
+            # fine-tune from epoch 0 rather than crash on missing meta
+            log.warning(
+                "%s is a params-only export; resuming weights at epoch 0 "
+                "with fresh optimizer state", cfg.CONST.WEIGHTS,
+            )
+        else:
+            init_epoch = meta["epoch_idx"]
+            best_iou = meta["best_iou"]
+            best_epoch = meta["best_epoch"]
 
     output_dir = os.path.join(
         cfg.DIR.OUT_PATH, datetime.now().isoformat().replace(":", "-")

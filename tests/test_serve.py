@@ -178,3 +178,20 @@ def test_http_server(rng):
             assert stats["requests"] == 1
         finally:
             httpd.shutdown()
+
+
+def test_shape_mismatch_rejected_in_client_thread(rng):
+    """H/W is pinned by the first request; a mismatched submit raises in
+    the CLIENT thread and the dispatcher keeps serving."""
+    fake = FakePredictor()
+    with BatchingServer(fake, batch_size=2, n_views=1) as server:
+        out = server.submit(_req(rng, n_views=1, value=1.0)).result(timeout=10)
+        np.testing.assert_allclose(out, 1.0, rtol=1e-6)
+        bad = rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+        with pytest.raises(ValueError, match="H/W"):
+            server.submit(bad)
+        with pytest.raises(ValueError, match="n_views"):
+            server.submit(np.zeros((0, 8, 8, 3), np.float32))
+        # server still alive after the rejections
+        out = server.submit(_req(rng, n_views=1, value=2.0)).result(timeout=10)
+        np.testing.assert_allclose(out, 2.0, rtol=1e-6)
