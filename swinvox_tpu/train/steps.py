@@ -38,6 +38,7 @@ def make_train_step(
     optimizers: Dict[str, optax.GradientTransformation],
     donate: bool = True,
     grad_accum_steps: int = 1,
+    mesh=None,
 ) -> Callable:
     """Returns train_step(state, images, volumes, rng, enable_merger,
     enable_refiner) -> (state, metrics).
@@ -101,6 +102,22 @@ def make_train_step(
             volumes_r = volumes.reshape(
                 (grad_accum_steps, micro) + volumes.shape[1:]
             )
+            if mesh is not None:
+                # the incoming batch is sharded P('data'); after the
+                # reshape the batch axis moved to dim 1 — pin the layout
+                # so GSPMD reshards in place instead of gathering the
+                # whole image batch before the scan
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                micro_sharding = NamedSharding(
+                    mesh, PartitionSpec(None, "data")
+                )
+                images_r = jax.lax.with_sharding_constraint(
+                    images_r, micro_sharding
+                )
+                volumes_r = jax.lax.with_sharding_constraint(
+                    volumes_r, micro_sharding
+                )
 
             def body(carry, xs):
                 grads_acc, batch_stats, el_acc, rl_acc = carry
