@@ -36,10 +36,29 @@ def load_image_bgr(path: str) -> np.ndarray:
     Matches cv2.imread(IMREAD_UNCHANGED).astype(float32)/255 (reference
     utils/data_loaders.py:71): RGBA files keep alpha, channels flipped
     RGB->BGR; grayscale is stacked to 3 channels (reference :194-196).
+
+    PNG/JPEG go through the native codec when available (decode + the
+    uint8->float BGR conversion in C with the GIL released, so loader
+    threads scale on real cores — native/imgcodec.cc); anything else, or
+    a missing compiler/libs, falls back to PIL.
     """
+    from swinvox_tpu.native.runtime import decode_image_native
+
+    with open(path, "rb") as f:
+        data = f.read()
+    native = decode_image_native(data)
+    if native is not None:
+        return native
+
+    import io
+
     from PIL import Image
 
-    with Image.open(path) as im:
+    with Image.open(io.BytesIO(data)) as im:
+        if im.mode == "P":  # palette -> true colors (cv2 semantics)
+            im = im.convert(
+                "RGBA" if "transparency" in im.info else "RGB"
+            )
         arr = np.asarray(im)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)

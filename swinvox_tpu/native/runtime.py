@@ -18,33 +18,38 @@ from typing import Optional
 log = logging.getLogger(__name__)
 
 _SRC = os.path.join(os.path.dirname(__file__), "voxcodec.cc")
+_IMG_SRC = os.path.join(os.path.dirname(__file__), "imgcodec.cc")
 _CACHE_DIR = os.environ.get(
     "SWINVOX_NATIVE_DIR", os.path.expanduser("~/.cache/swinvox_tpu/native")
 )
 
 
-def _build() -> Optional[str]:
+def _build_so(src: str, name: str, extra_flags=()) -> Optional[str]:
     try:
-        with open(_SRC, "rb") as f:
+        with open(src, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()[:16]
     except OSError:
         return None
-    so_path = os.path.join(_CACHE_DIR, f"voxcodec-{digest}.so")
+    so_path = os.path.join(_CACHE_DIR, f"{name}-{digest}.so")
     if os.path.exists(so_path):
         return so_path
     os.makedirs(_CACHE_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", so_path + ".tmp", _SRC,
+        "-o", so_path + ".tmp", src, *extra_flags,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (subprocess.SubprocessError, FileNotFoundError) as e:
-        log.warning("native codec build failed (%s); using numpy fallback", e)
+        log.warning("native %s build failed (%s); using fallback", name, e)
         return None
     os.replace(so_path + ".tmp", so_path)
-    log.info("built native codec: %s", so_path)
+    log.info("built native %s: %s", name, so_path)
     return so_path
+
+
+def _build() -> Optional[str]:
+    return _build_so(_SRC, "voxcodec")
 
 
 _lib = None
@@ -77,3 +82,58 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     _lib = lib
     return _lib
+
+
+# ------------------------------------------------------------ image codec
+
+_img_lib = None
+_img_tried = False
+
+
+def get_img_lib() -> Optional[ctypes.CDLL]:
+    """The native PNG/JPEG -> float32 BGR(A) decoder, or None."""
+    global _img_lib, _img_tried
+    if _img_tried:
+        return _img_lib
+    _img_tried = True
+    if os.environ.get("SWINVOX_DISABLE_NATIVE"):
+        return None
+    so_path = _build_so(_IMG_SRC, "imgcodec", ("-lpng", "-ljpeg"))
+    if so_path is None:
+        return None
+    lib = ctypes.CDLL(so_path)
+    lib.imgcodec_decode.restype = ctypes.c_long
+    lib.imgcodec_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.imgcodec_free.restype = None
+    lib.imgcodec_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    _img_lib = lib
+    return _img_lib
+
+
+def decode_image_native(data: bytes):
+    """bytes -> float32 [H, W, 3|4] BGR(A) in [0,1], or None on fallback.
+
+    Decode and the uint8->float BGR conversion run in C with the GIL
+    released — loader threads scale on real cores.
+    """
+    import numpy as np
+
+    lib = get_img_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    dims = (ctypes.c_long * 3)()
+    rc = lib.imgcodec_decode(data, len(data), ctypes.byref(out), dims)
+    if rc != 0:
+        return None  # unknown format / corrupt -> caller falls back
+    try:
+        h, w, c = dims[0], dims[1], dims[2]
+        arr = np.ctypeslib.as_array(out, shape=(h, w, c)).copy()
+    finally:
+        lib.imgcodec_free(out)
+    return arr

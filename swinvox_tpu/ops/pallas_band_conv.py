@@ -33,13 +33,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from swinvox_tpu.ops.pallas_merger import (
     BROWS,
-    C,
     D,
     G,
     H,
