@@ -174,7 +174,9 @@ def _pick_block(
     for bw in (64, 32, 16, 8, 4, 2, 1):
         if n_windows % bw:
             continue
-        if nw_per_image and nw_per_image % bw:
+        if nw_per_image and (
+            nw_per_image % bw if bw <= nw_per_image else bw % nw_per_image
+        ):
             continue
         xo = 2 * 2 * bw * ps(t, itemsize) * plane(c) * itemsize  # x+out dbuf
         x32 = 2 * bw * ps(t, 4) * plane(c) * 4  # x32 + x2 residuals (f32)
@@ -223,15 +225,21 @@ def _swin_block_impl(
     operands = [x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, rel_bias]
     masked = mask is not None
     if masked:
-        blocks_per_image = nw_per_image // bw
-        in_specs.append(
-            pl.BlockSpec(
-                (bw, t, t),
-                lambda j: (j % blocks_per_image, 0, 0),
-                memory_space=pltpu.VMEM,
+        if bw <= nw_per_image:
+            blocks_per_image = nw_per_image // bw
+            in_specs.append(
+                pl.BlockSpec(
+                    (bw, t, t),
+                    lambda j: (j % blocks_per_image, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
             )
-        )
-        operands.append(mask)
+            operands.append(mask)
+        else:
+            # block spans whole images: pre-tile the per-image mask so it
+            # is constant across the grid (see _pick_block's bw rule)
+            in_specs.append(const((bw, t, t)))
+            operands.append(jnp.tile(mask, (bw // nw_per_image, 1, 1)))
         kernel = functools.partial(
             _swin_block_kernel,
             num_heads=num_heads, scale=scale, masked=True, eps=eps,
@@ -675,7 +683,12 @@ def _pick_block_train(
     for bw in (64, 32, 16, 8, 4, 2, 1):
         if n_windows % bw:
             continue
-        if nw_per_image and nw_per_image % bw:
+        # the mask repeats with period nw_per_image: blocks either divide
+        # an image's windows (modulo index map) or span whole images
+        # (pre-tiled constant mask) — bw and nw_per_image must nest
+        if nw_per_image and (
+            nw_per_image % bw if bw <= nw_per_image else bw % nw_per_image
+        ):
             continue
         io = (3 if backward else 2) * 2 * bw * ps(t, itemsize) * plane(c) * itemsize
         x32 = 2 * bw * ps(t, 4) * plane(c) * 4
@@ -723,13 +736,25 @@ def _make_train_fn(num_heads, scale, eps, masked, interpret):
                 memory_space=pltpu.VMEM,
             )
 
+        mask_idx = n_lead + 2 + 7
         if masked:
-            bpi = nw_per_image // bw
-            mask_spec = pl.BlockSpec(
-                (bw, t, t),
-                lambda j: (j % bpi, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
+            if bw <= nw_per_image:
+                bpi = nw_per_image // bw
+                mask_spec = pl.BlockSpec(
+                    (bw, t, t),
+                    lambda j: (j % bpi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            else:
+                # block spans whole images: rows repeat the per-image
+                # mask with period nw_per_image, so a pre-tiled [bw,t,t]
+                # mask is CONSTANT across the grid (lifts the bw cap the
+                # modulo indexing imposed on small-nW stages)
+                operands = list(operands)
+                operands[mask_idx] = jnp.tile(
+                    operands[mask_idx], (bw // nw_per_image, 1, 1)
+                )
+                mask_spec = const((bw, t, t))
         else:
             mask_spec = const((1, t, t))
 
