@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from swinvox_tpu.data.synthetic import generate_dataset
 
 

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from swinvox_tpu.config import default_config
 from swinvox_tpu.models import SwinVoxModel
 from swinvox_tpu.train.optim import MODULE_NAMES, build_optimizers, multistep_lr
