@@ -59,6 +59,8 @@ def load_image_bgr(path: str) -> np.ndarray:
             im = im.convert(
                 "RGBA" if "transparency" in im.info else "RGB"
             )
+        elif im.mode == "LA":  # gray+alpha -> BGRA like the native path
+            im = im.convert("RGBA")
         arr = np.asarray(im)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)

@@ -36,6 +36,12 @@ static long decode_png(const unsigned char* buf, long n, float** out,
   memset(&image, 0, sizeof image);
   image.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&image, buf, (size_t)n)) return -2;
+  if (image.format & PNG_FORMAT_FLAG_LINEAR) {
+    // 16-bit PNG: bail out so the caller's PIL fallback decides the
+    // semantics instead of silently down-converting to 8 bits
+    png_image_free(&image);
+    return -7;
+  }
   const int has_alpha = (image.format & PNG_FORMAT_FLAG_ALPHA) ? 1 : 0;
   // the simplified API converts gray/palette to BGR(A) for us, matching
   // load_image_bgr's gray->3ch stacking
@@ -86,8 +92,10 @@ static long decode_jpeg(const unsigned char* buf, long n, float** out,
   JerrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jerr_exit;
-  unsigned char* row = nullptr;
-  float* f = nullptr;
+  // volatile: modified between setjmp and longjmp (C11 7.13.2.1) — the
+  // error path must free the REAL pointers, not register-restored ones
+  unsigned char* volatile row = nullptr;
+  float* volatile f = nullptr;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     free(row);

@@ -101,7 +101,11 @@ def get_img_lib() -> Optional[ctypes.CDLL]:
     so_path = _build_so(_IMG_SRC, "imgcodec", ("-lpng", "-ljpeg"))
     if so_path is None:
         return None
-    lib = ctypes.CDLL(so_path)
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError as e:  # cached .so whose libpng/libjpeg are missing
+        log.warning("native imgcodec load failed (%s); using PIL", e)
+        return None
     lib.imgcodec_decode.restype = ctypes.c_long
     lib.imgcodec_decode.argtypes = [
         ctypes.c_char_p,

@@ -66,6 +66,8 @@ def _pil_bgr(data):
     with Image.open(io.BytesIO(data)) as im:
         if im.mode == "P":
             im = im.convert("RGBA" if "transparency" in im.info else "RGB")
+        elif im.mode == "LA":
+            im = im.convert("RGBA")
         arr = np.asarray(im)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
@@ -75,7 +77,7 @@ def _pil_bgr(data):
 
 @pytest.mark.parametrize(
     "mode,fmt", [("RGB", "PNG"), ("RGBA", "PNG"), ("L", "PNG"),
-                 ("RGB", "JPEG"), ("L", "JPEG")]
+                 ("LA", "PNG"), ("RGB", "JPEG"), ("L", "JPEG")]
 )
 def test_native_image_decode_matches_pil(rng, mode, fmt):
     """Native PNG/JPEG decode == the PIL reference path (both produce
@@ -84,7 +86,8 @@ def test_native_image_decode_matches_pil(rng, mode, fmt):
 
     from swinvox_tpu.native.runtime import decode_image_native
 
-    shape = {"RGB": (37, 53, 3), "RGBA": (37, 53, 4), "L": (37, 53)}[mode]
+    shape = {"RGB": (37, 53, 3), "RGBA": (37, 53, 4), "L": (37, 53),
+             "LA": (37, 53, 2)}[mode]
     arr = rng.integers(0, 256, shape, dtype=np.uint8)
     buf = io.BytesIO()
     Image.fromarray(arr, mode).save(buf, fmt)

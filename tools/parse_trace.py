@@ -36,7 +36,6 @@ def load_events(trace_dir: str):
         for e in events
         if e.get("ph") == "M" and e.get("name") == "thread_name"
     }
-    steps = 0
     out = []
     for e in events:
         if e.get("ph") != "X":
@@ -44,11 +43,19 @@ def load_events(trace_dir: str):
         if "XLA Ops" not in tid_names.get((e["pid"], e["tid"]), ""):
             continue
         out.append(e)
-    # number of traced steps = max occurrence count of any op name
+    # traced-step count = the MODE of per-op occurrence counts (the max
+    # overcounts when an op runs multiple times per step, e.g. inside a
+    # grad-accumulation lax.scan)
     counts = defaultdict(int)
     for e in out:
         counts[e["name"]] += 1
-    steps = max(counts.values()) if counts else 1
+    if counts:
+        freq = defaultdict(int)
+        for c in counts.values():
+            freq[c] += 1
+        steps = max(freq.items(), key=lambda kv: kv[1])[0]
+    else:
+        steps = 1
     return out, steps
 
 
