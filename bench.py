@@ -46,8 +46,10 @@ def _measure(fn, n_steps, n_trials=4):
         t0 = time.perf_counter()
         s = fn(n_steps)
         acc = float(s)  # device->host fetch forces completion of the chain
-        best = min(best, time.perf_counter() - t0)
-        assert np.isfinite(acc)
+        elapsed = time.perf_counter() - t0
+        # a diverged/NaN chain must never contribute a timing sample
+        assert np.isfinite(acc), f"non-finite chain value {acc!r}"
+        best = min(best, elapsed)
     return best
 
 

@@ -21,8 +21,10 @@ def get_args_from_command_line(argv=None):
     parser = ArgumentParser(description="SwinVox TPU runner")
     parser.add_argument(
         "--gpu", dest="gpu_id",
-        help="device selector (kept for reference CLI parity; TPU devices "
-        "are mesh-managed)", default=None, type=str,
+        help="restrict to these device indices (comma separated, e.g. "
+        "'0' or '0,2') — the TPU analogue of the reference's "
+        "CUDA_VISIBLE_DEVICES; default: all visible devices",
+        default=None, type=str,
     )
     parser.add_argument("--rand", dest="randomize", help="randomize seed",
                         action="store_true")
@@ -84,6 +86,9 @@ def build_config(args):
     # reference-style arg -> cfg mutations (runner.py:58-71)
     if args.gpu_id is not None:
         cfg.CONST.DEVICE = args.gpu_id
+        # restrict the mesh to the named device indices — the TPU
+        # analogue of the reference's CUDA_VISIBLE_DEVICES export
+        cfg.CONST.DEVICE_SELECT = args.gpu_id
     if args.batch_size is not None:
         cfg.CONST.BATCH_SIZE = args.batch_size
     if args.epoch is not None:
@@ -128,6 +133,10 @@ def main(argv=None) -> int:
     args = get_args_from_command_line(argv)
     cfg = build_config(args)
     cfg.validate()
+
+    from swinvox_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize(cfg)  # multi-host bootstrap before any device use
 
     if args.lr_find:
         from swinvox_tpu.train.lr_finder import find_lr

@@ -10,8 +10,33 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any, List, Optional, Sequence, Tuple
+
+
+def resolve_data_path(path: str) -> str:
+    """Resolve a ``./datasets/*.json`` style path for installed packages.
+
+    The default taxonomy paths are cwd-relative (matching the reference's
+    layout, config.py:17-41).  From an installed wheel there is no repo
+    checkout, so when the literal path does not exist we fall back to the
+    same-named file shipped as ``swinvox_tpu.datasets`` package data.
+    Non-taxonomy paths (or anything the caller customized to an existing
+    location) pass through untouched.
+    """
+    if os.path.exists(path):
+        return path
+    try:
+        from importlib.resources import files
+
+        pkg = files("swinvox_tpu.datasets") / os.path.basename(path)
+        # filesystem-backed installs (wheels, editable) expose a real path
+        if pkg.is_file():
+            return str(pkg)
+    except (ModuleNotFoundError, FileNotFoundError, TypeError):
+        pass
+    return path
 
 
 @dataclass
@@ -65,6 +90,11 @@ class ConstConfig:
     """Common constants (reference config.py:59-69)."""
 
     DEVICE: str = "0"
+    # TPU extra: explicit device restriction ("" = use every visible
+    # device).  Set by the runner's --gpu flag — the analogue of the
+    # reference exporting CUDA_VISIBLE_DEVICES (runner.py:74-75); comma
+    # separated jax.devices() indices, e.g. "0" or "0,2".
+    DEVICE_SELECT: str = ""
     RNG_SEED: int = 0
     IMG_W: int = 224
     IMG_H: int = 224
@@ -118,6 +148,11 @@ class NetworkConfig:
     # conv (ops/pallas_band_conv.py): in-kernel input/weight grads for
     # the 9-channel Conv3d stack XLA runs at 35-70 GB/s effective
     USE_PALLAS_MERGER_TRAIN: bool = False
+    # merger convs as dense-lane 2D band convs in XLA
+    # (ops/band2d_merger.py): packs (w, c) into lanes so the 9-channel
+    # Conv3d stack stops running 14x lane-padded; full autodiff +
+    # training-mode BN.  Applies to BOTH train and eval paths
+    USE_BAND2D_MERGER: bool = False
     # tap-unrolled custom backward for the refiner's 1-channel first conv
     # (ops/unrolled_conv.py — pure XLA reassociation; fwd unchanged).
     # Off: measured 153.7 -> 298.6 ms/step at batch 64 — the chunked
@@ -231,6 +266,11 @@ class ParallelConfig:
     DATA_PARALLEL: int = -1
     MODEL_PARALLEL: int = 1
     MESH_AXIS_NAMES: Tuple[str, str] = ("data", "model")
+    # multi-process bootstrap: call jax.distributed.initialize() at start
+    # (auto-detected coordinator on Cloud TPU; explicit via the
+    # SWINVOX_COORDINATOR/NUM_PROCESSES/PROCESS_ID env vars — see
+    # parallel/distributed.py).  Single-process runs leave this False.
+    DISTRIBUTED: bool = False
 
 
 @dataclass

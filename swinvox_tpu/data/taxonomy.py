@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from enum import Enum, unique
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from swinvox_tpu.config import Config
+from swinvox_tpu.config import Config, resolve_data_path
 
 log = logging.getLogger(__name__)
 
@@ -57,7 +57,8 @@ class ShapeNetIndex:
         self.rendering_tpl = cfg.DATASETS.SHAPENET.RENDERING_PATH
         self.volume_tpl = cfg.DATASETS.SHAPENET.VOXEL_PATH
         with open(
-            cfg.DATASETS.SHAPENET.TAXONOMY_FILE_PATH, encoding="utf-8"
+            resolve_data_path(cfg.DATASETS.SHAPENET.TAXONOMY_FILE_PATH),
+            encoding="utf-8",
         ) as f:
             self.taxonomies = json.load(f)
 
@@ -121,7 +122,8 @@ class Pascal3DIndex:
         self.annotation_tpl = cfg.DATASETS.PASCAL3D.ANNOTATION_PATH
         self.rendering_tpl = cfg.DATASETS.PASCAL3D.RENDERING_PATH
         with open(
-            cfg.DATASETS.PASCAL3D.TAXONOMY_FILE_PATH, encoding="utf-8"
+            resolve_data_path(cfg.DATASETS.PASCAL3D.TAXONOMY_FILE_PATH),
+            encoding="utf-8",
         ) as f:
             self.taxonomies = json.load(f)
 
@@ -195,7 +197,10 @@ class Pix3DIndex:
     def __init__(self, cfg: Config):
         self.volume_tpl = cfg.DATASETS.PIX3D.VOXEL_PATH
         self.rendering_tpl = cfg.DATASETS.PIX3D.RENDERING_PATH
-        with open(cfg.DATASETS.PIX3D.TAXONOMY_FILE_PATH, encoding="utf-8") as f:
+        with open(
+            resolve_data_path(cfg.DATASETS.PIX3D.TAXONOMY_FILE_PATH),
+            encoding="utf-8",
+        ) as f:
             self.taxonomies = json.load(f)
         with open(cfg.DATASETS.PIX3D.ANNOTATION_PATH, encoding="utf-8") as f:
             annotations = json.load(f)

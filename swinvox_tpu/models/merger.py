@@ -39,6 +39,10 @@ class Merger(nn.Module):
     # Pallas conv (ops/pallas_band_conv.py) — in-kernel input/weight
     # gradients; BN/bias/LeakyReLU stay in XLA
     use_pallas_train: bool = False
+    # training path: dense-lane 2D band convs in XLA
+    # (ops/band2d_merger.py) — packs (h, c) into lanes so the 9-channel
+    # convs stop running 14x lane-padded; autodiff + train BN for free
+    use_band2d: bool = False
     # run the fused kernel in the Pallas interpreter (CPU parity tests)
     pallas_interpret: bool = False
 
@@ -89,6 +93,34 @@ class Merger(nn.Module):
                 x, kernels, biases, bn_params, leaky=self.leaky_value,
                 interpret=self.pallas_interpret,
             ).reshape(b, n_views, 32, 32, 32)
+        elif self.use_band2d:
+            from swinvox_tpu.ops.band2d_merger import (
+                band2d_conv,
+                pack_wc,
+                unpack_wc,
+            )
+
+            def layer(i, y5d):
+                # y5d: [V, D, H, W, ci] -> conv -> BN -> leaky, same tree
+                # as the direct path (dummy-trace trick, see use_fused)
+                ci = _CHANNELS[i][0]
+                convs[i](jnp.zeros((1, 3, 3, 3, ci), self.dtype))
+                cp = convs[i].variables["params"]["Conv_0"]
+                y = band2d_conv(
+                    pack_wc(y5d), cp["kernel"], cp["bias"]
+                )
+                y = unpack_wc(y, _CHANNELS[i][1])
+                y = norms[i](y, train)
+                return nn.leaky_relu(y, self.leaky_value)
+
+            y = x
+            intermediates = []
+            for i in range(4):
+                y = layer(i, y)
+                intermediates.append(y)
+            y = layer(4, jnp.concatenate(intermediates, axis=-1))
+            y = layer(5, y)
+            weights = y[..., 0].reshape(b, n_views, 32, 32, 32)
         else:
             use_band = (
                 self.use_pallas_train

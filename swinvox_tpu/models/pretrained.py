@@ -158,6 +158,167 @@ def convert_timm_swin_tiny(
     return params
 
 
+# --------------------------------------------------------------------
+# Reference SwinVox head converters: map the reference's own torch
+# modules (models/{decoder,merger,refiner,cross_view_attention}.py) onto
+# our flax trees, so a user can port a trained reference checkpoint —
+# and so tests can pin numerical parity against the reference's code
+# itself (tests/test_reference_parity.py).
+# --------------------------------------------------------------------
+
+
+def _conv3d(w: Array) -> Array:
+    """torch Conv3d weight [out, in, kd, kh, kw] -> (kd, kh, kw, in, out)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
+def _tconv(w: Array) -> Array:
+    """torch ConvTranspose{2,3}d weight [in, out, *k] -> our ConvTranspose
+    kernel (*k, in, out), spatially FLIPPED.
+
+    torch's transposed conv scatters input q to output q*s - p + k with
+    tap w[k]; layers.ConvTranspose is an input-dilated correlation that
+    reads tap K-1-k at the same output — identical geometry, mirrored
+    taps — so grafting torch weights requires reversing every spatial
+    axis."""
+    rank = w.ndim - 2
+    w = np.transpose(w, tuple(range(2, 2 + rank)) + (0, 1))
+    return np.ascontiguousarray(w[(slice(None, None, -1),) * rank])
+
+
+def _bn(sd: StateDict, prefix: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    return (
+        {"bn": {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}},
+        {
+            "bn": {
+                "mean": sd[f"{prefix}.running_mean"],
+                "var": sd[f"{prefix}.running_var"],
+            }
+        },
+    )
+
+
+def convert_reference_decoder(
+    sd: StateDict,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference models/decoder.py state dict -> (params, batch_stats)
+    for models.decoder.Decoder (tconv1..tconv5 + bn1..bn4)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(1, 6):
+        layer = {"kernel": _tconv(sd[f"layer{i}.0.weight"])}
+        if f"layer{i}.0.bias" in sd:
+            layer["bias"] = sd[f"layer{i}.0.bias"]
+        params[f"tconv{i}"] = layer
+        if i <= 4:
+            params[f"bn{i}"], stats[f"bn{i}"] = _bn(sd, f"layer{i}.1")
+    return params, stats
+
+
+def convert_reference_merger(
+    sd: StateDict,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference models/merger.py state dict -> (params, batch_stats)
+    for models.merger.Merger (conv1..conv6 + bn1..bn6)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(1, 7):
+        params[f"conv{i}"] = {
+            "Conv_0": {
+                "kernel": _conv3d(sd[f"layer{i}.0.weight"]),
+                "bias": sd[f"layer{i}.0.bias"],
+            }
+        }
+        params[f"bn{i}"], stats[f"bn{i}"] = _bn(sd, f"layer{i}.1")
+    return params, stats
+
+
+def convert_reference_refiner(
+    sd: StateDict,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference models/refiner.py state dict -> (params, batch_stats)
+    for models.refiner.Refiner.
+
+    The FC bottleneck flattens (C, D, H, W) in torch but (D, H, W, C)
+    here (models/refiner.py docstring), so fc1's input axis and fc2's
+    output axis are permuted accordingly — a pure reparameterization
+    that makes the two bottlenecks compute the same function."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i, name in ((1, "down1"), (2, "down2"), (3, "down3")):
+        params[f"{name}_conv"] = {
+            "Conv_0": {
+                "kernel": _conv3d(sd[f"layer{i}.0.weight"]),
+                "bias": sd[f"layer{i}.0.bias"],
+            }
+        }
+        params[f"{name}_bn"], stats[f"{name}_bn"] = _bn(sd, f"layer{i}.1")
+
+    # fc1: torch [2048, 8192(C,D,H,W)] -> kernel [8192(D,H,W,C), 2048]
+    w1 = sd["layer4.0.weight"].reshape(2048, 128, 4, 4, 4)
+    w1 = w1.transpose(0, 2, 3, 4, 1).reshape(2048, 8192)
+    params["fc1"] = {
+        "Dense_0": {"kernel": np.ascontiguousarray(w1.T),
+                    "bias": sd["layer4.0.bias"]}
+    }
+    # fc2: torch [8192(C,D,H,W), 2048] -> kernel [2048, 8192(D,H,W,C)]
+    w2 = sd["layer5.0.weight"].reshape(128, 4, 4, 4, 2048)
+    w2 = w2.transpose(1, 2, 3, 0, 4).reshape(8192, 2048)
+    b2 = sd["layer5.0.bias"].reshape(128, 4, 4, 4)
+    b2 = b2.transpose(1, 2, 3, 0).reshape(8192)
+    params["fc2"] = {
+        "Dense_0": {"kernel": np.ascontiguousarray(w2.T),
+                    "bias": np.ascontiguousarray(b2)}
+    }
+
+    for i, name in ((6, "up1"), (7, "up2"), (8, "up3")):
+        layer = {"kernel": _tconv(sd[f"layer{i}.0.weight"])}
+        if f"layer{i}.0.bias" in sd:
+            layer["bias"] = sd[f"layer{i}.0.bias"]
+        params[f"{name}_tconv"] = layer
+        if name != "up3":
+            params[f"{name}_bn"], stats[f"{name}_bn"] = _bn(sd, f"layer{i}.1")
+    return params, stats
+
+
+def convert_reference_cross_view(
+    sd: StateDict,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference models/cross_view_attention.py state dict ->
+    (params, batch_stats) for models.cross_view.CrossViewAttention.
+
+    The per-(view, head) Q/K/V flatten order differs (torch: (d, y, x);
+    here: (y, x, d)) but is applied consistently to Q, K, V and the
+    un-flatten, so scores and outputs match with untouched 1x1 conv
+    weights.  The depthwise downsample kernel goes [C,1,r,r] ->
+    [r,r,1,C] (flax grouped-conv layout)."""
+    params: Dict[str, Any] = {}
+    if "downsample_qkv.weight" in sd:
+        params["downsample_qkv"] = {
+            "Conv_0": {
+                "kernel": np.ascontiguousarray(
+                    np.transpose(sd["downsample_qkv.weight"], (2, 3, 1, 0))
+                ),
+                "bias": sd["downsample_qkv.bias"],
+            }
+        }
+    for src, dst in (
+        ("qkv_conv", "qkv_conv"),
+        ("proj_conv", "proj_conv"),
+        ("ffn.0", "ffn_fc1"),
+        ("ffn.2", "ffn_fc2"),
+    ):
+        params[dst] = {
+            "Conv_0": {
+                "kernel": _conv(sd[f"{src}.weight"]),
+                "bias": sd[f"{src}.bias"],
+            }
+        }
+    bn_p, bn_s = _bn(sd, "batch_norm")
+    params["batch_norm"] = bn_p
+    return params, {"batch_norm": bn_s}
+
+
 def load_state_dict_file(path: str) -> Dict[str, Array]:
     """Load a torch .pth / .pt (requires torch) or numpy .npz of weights."""
     if path.endswith(".npz"):

@@ -214,26 +214,29 @@ class SwinBlock(nn.Module):
             shifted_window_mask(h, w, self.window, shift) if shift > 0 else None
         )
 
+        use_fused_block = (
+            (self.use_pallas_block and deterministic)
+            or (self.use_pallas_block_train and not deterministic)
+        ) and (self.pallas_interpret or jax.default_backend() == "tpu")
+
         norm1 = LayerNorm(dtype=self.dtype, name="norm1")
         # The fused Pallas kernels win at inference but their backward is
         # an XLA recompute from x+weights, which costs ~16 ms/step at
-        # batch 64 in training (measured) — gate them to deterministic
+        # batch 64 in training (measured) — gate them to deterministic.
+        # Under the fused block, attn() only runs on a dummy to material-
+        # ize the param tree: keep that trace on the XLA path (the param
+        # tree is identical) so no dead pallas_call relies on XLA DCE.
         attn = WindowMSA(
             dim=self.dim,
             num_heads=self.num_heads,
             window=self.window,
             dtype=self.dtype,
-            use_pallas=self.use_pallas and deterministic,
+            use_pallas=self.use_pallas and deterministic and not use_fused_block,
             name="attn",
         )
         norm2 = LayerNorm(dtype=self.dtype, name="norm2")
         fc1 = Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")
         fc2 = Dense(self.dim, dtype=self.dtype, name="mlp_fc2")
-
-        use_fused_block = (
-            (self.use_pallas_block and deterministic)
-            or (self.use_pallas_block_train and not deterministic)
-        ) and (self.pallas_interpret or jax.default_backend() == "tpu")
         if use_fused_block:
             from swinvox_tpu.ops.pallas_swin_block import (
                 fused_swin_block,

@@ -53,6 +53,7 @@ class SwinVoxModel(nn.Module):
     use_pallas: bool = False
     use_pallas_merger: bool = False
     use_pallas_merger_train: bool = False
+    use_band2d_merger: bool = False
     refiner_unrolled_conv: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
@@ -77,6 +78,7 @@ class SwinVoxModel(nn.Module):
             use_pallas=net.USE_PALLAS_WINDOW_ATTENTION,
             use_pallas_merger=net.USE_PALLAS_MERGER,
             use_pallas_merger_train=net.USE_PALLAS_MERGER_TRAIN,
+            use_band2d_merger=net.USE_BAND2D_MERGER,
             refiner_unrolled_conv=net.REFINER_UNROLLED_CONV,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
             use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
@@ -118,6 +120,7 @@ class SwinVoxModel(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas_merger,
                 use_pallas_train=self.use_pallas_merger_train,
+                use_band2d=self.use_band2d_merger,
                 name="merger",
             )(raw_features, coarse, train)
         else:

@@ -35,6 +35,31 @@ _TP_RULES = (
 )
 
 
+def select_devices(spec: str, devices: Optional[Sequence[Any]] = None):
+    """Parse a ``--gpu``-style selector ("0", "0,2") into device objects.
+
+    The TPU analogue of the reference exporting CUDA_VISIBLE_DEVICES
+    (runner.py:74-75): an empty spec means every visible device.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    spec = (spec or "").strip()
+    if not spec:
+        return devices
+    try:
+        idx = [int(tok) for tok in spec.split(",") if tok.strip() != ""]
+    except ValueError:
+        raise ValueError(
+            f"device selector {spec!r}: expected comma-separated indices"
+        ) from None
+    bad = [i for i in idx if not 0 <= i < len(devices)]
+    if bad:
+        raise ValueError(
+            f"device selector {spec!r}: indices {bad} out of range "
+            f"(0..{len(devices) - 1})"
+        )
+    return [devices[i] for i in idx]
+
+
 def build_mesh(
     cfg: Optional[Config] = None,
     devices: Optional[Sequence[Any]] = None,
@@ -47,6 +72,8 @@ def build_mesh(
     batches still run — the analogue of DataParallel silently using fewer
     GPUs than visible.
     """
+    if devices is None and cfg is not None:
+        devices = select_devices(getattr(cfg.CONST, "DEVICE_SELECT", ""))
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model = 1 if cfg is None else max(1, cfg.PARALLEL.MODEL_PARALLEL)
@@ -122,8 +149,19 @@ def shard_batch_views(batch: Any, mesh: Mesh) -> Any:
     the demonstration CP path from SURVEY.md §2.  Volumes have no view
     axis and stay P('data').
 
-    Requires n_views % mesh.shape['model'] == 0.
+    Requires n_views % mesh.shape['model'] == 0 (enforced: an uneven
+    split would silently pad views on some devices, corrupting the
+    softmax-over-views — error out instead so the caller picks a view
+    count or mesh that divides).
     """
+    model = mesh.shape["model"]
+    imgs = batch.get("images") if isinstance(batch, dict) else None
+    if imgs is not None and imgs.ndim >= 2 and imgs.shape[1] % model != 0:
+        raise ValueError(
+            f"shard_batch_views: n_views={imgs.shape[1]} is not divisible "
+            f"by the model axis ({model}); choose N_VIEWS_RENDERING % "
+            f"model == 0 or use shard_batch (data-parallel only)"
+        )
     img_sharding = NamedSharding(mesh, P("data", "model"))
     data_sharding = batch_sharding(mesh)
 

@@ -46,6 +46,13 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+class ServerOverloadedError(RuntimeError):
+    """Raised by submit() when the bounded request queue is full.
+
+    Backpressure policy: the queue never grows past ``max_queue``; the
+    caller sheds load instead (the HTTP layer maps this to 503)."""
+
+
 class _Request:
     __slots__ = ("images", "future", "t_submit")
 
@@ -76,6 +83,10 @@ class BatchingServer:
         Defaults to the predictor config's CONST.N_VIEWS_RENDERING.
     max_wait_ms: max time the dispatcher waits after the first queued
         request before launching a partial batch.
+    max_queue: bound on queued requests; submit() raises
+        ServerOverloadedError when full (backpressure, never unbounded).
+    timeout_ms: optional per-request deadline; requests that sat in the
+        queue longer are failed with TimeoutError instead of being run.
     """
 
     def __init__(
@@ -85,6 +96,7 @@ class BatchingServer:
         n_views: Optional[int] = None,
         max_wait_ms: float = 5.0,
         max_queue: int = 1024,
+        timeout_ms: Optional[float] = None,
     ):
         self.predictor = predictor
         self.batch_size = int(batch_size)
@@ -95,6 +107,7 @@ class BatchingServer:
             else (cfg.CONST.N_VIEWS_RENDERING if cfg is not None else 1)
         )
         self.max_wait = max_wait_ms / 1000.0
+        self.timeout = timeout_ms / 1000.0 if timeout_ms is not None else None
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -104,6 +117,8 @@ class BatchingServer:
             "batches": 0,
             "batch_occupancy_sum": 0,
             "latency_sum_s": 0.0,
+            "rejected_overload": 0,
+            "timed_out": 0,
         }
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="swinvox-serve", daemon=True
@@ -121,22 +136,32 @@ class BatchingServer:
             raise ValueError(
                 f"expected [n_views >= 1, H, W, 3], got {images.shape}"
             )
-        # all requests in a server share one static H/W (one compiled
-        # program); pin it from the first request and reject mismatches
-        # here, in the CLIENT thread — a bad shape must never reach the
-        # dispatcher
+        req = _Request(_fit_views(images, self.n_views))
+        # The stop-check, H/W pin and enqueue happen under ONE lock, and
+        # close() sets _stop under the same lock before its final drain:
+        # a request can therefore never land in a dead queue (a Future
+        # that would otherwise hang its client forever).
         with self._lock:
+            if self._stop.is_set():
+                raise RuntimeError("server is closed")
+            # all requests in a server share one static H/W (one compiled
+            # program); pin it from the first request and reject
+            # mismatches here, in the CLIENT thread — a bad shape must
+            # never reach the dispatcher
             if self._hw is None:
                 self._hw = images.shape[1:3]
-        if images.shape[1:3] != self._hw:
-            raise ValueError(
-                f"image H/W {images.shape[1:3]} != server's {self._hw} "
-                "(fixed by the first request)"
-            )
-        if self._stop.is_set():
-            raise RuntimeError("server is closed")
-        req = _Request(_fit_views(images, self.n_views))
-        self._queue.put(req)
+            elif images.shape[1:3] != self._hw:
+                raise ValueError(
+                    f"image H/W {images.shape[1:3]} != server's {self._hw} "
+                    "(fixed by the first request)"
+                )
+            try:
+                self._queue.put_nowait(req)
+            except queue.Full:
+                self._stats["rejected_overload"] += 1
+                raise ServerOverloadedError(
+                    f"request queue full ({self._queue.maxsize}); retry later"
+                ) from None
         return req.future
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -153,9 +178,11 @@ class BatchingServer:
         return s
 
     def close(self) -> None:
-        self._stop.set()
+        with self._lock:  # pairs with submit(): no put after _stop is set
+            self._stop.set()
         self._thread.join(timeout=30)
-        # fail whatever is still queued
+        # fail whatever is still queued (the dispatcher drains the queue
+        # before exiting, so this only fires if the join timed out)
         while True:
             try:
                 req = self._queue.get_nowait()
@@ -188,9 +215,30 @@ class BatchingServer:
                 break
         return reqs
 
+    def _expire(self, reqs: list) -> list:
+        """Fail requests that outlived timeout_ms while queued."""
+        if self.timeout is None:
+            return reqs
+        now = time.perf_counter()
+        live = []
+        for r in reqs:
+            age = now - r.t_submit
+            if age > self.timeout:
+                with self._lock:
+                    self._stats["timed_out"] += 1
+                r.future.set_exception(
+                    TimeoutError(
+                        f"request queued {1000 * age:.0f} ms > "
+                        f"timeout {1000 * self.timeout:.0f} ms"
+                    )
+                )
+            else:
+                live.append(r)
+        return live
+
     def _dispatch_loop(self) -> None:
         while not self._stop.is_set() or not self._queue.empty():
-            reqs = self._take_batch()
+            reqs = self._expire(self._take_batch())
             if not reqs:
                 continue
             # submit() pins H/W, so assembly cannot shape-mismatch; wrap
@@ -250,6 +298,12 @@ def _make_http_server(server: BatchingServer, port: int):
                     io.BytesIO(self.rfile.read(length)), allow_pickle=False
                 )
                 vol = server.predict(images)
+            except ServerOverloadedError as e:
+                self.send_error(503, str(e))  # shed load, client retries
+                return
+            except TimeoutError as e:
+                self.send_error(504, str(e))
+                return
             except Exception as e:
                 self.send_error(400, str(e))
                 return
@@ -273,6 +327,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--n-views", type=int, default=None)
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    parser.add_argument("--max-queue", type=int, default=1024)
+    parser.add_argument("--timeout-ms", type=float, default=None)
     args = parser.parse_args(argv)
 
     from swinvox_tpu.infer import Predictor
@@ -284,6 +340,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         batch_size=args.batch_size,
         n_views=args.n_views,
         max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue,
+        timeout_ms=args.timeout_ms,
     ) as server:
         httpd = _make_http_server(server, args.port)
         log.info("serving on :%d (POST /predict, GET /stats)", args.port)

@@ -36,6 +36,9 @@ log = logging.getLogger(__name__)
 
 
 def train_net(cfg: Config) -> float:
+    from swinvox_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize(cfg)  # multi-host bootstrap BEFORE any device use
     enable_compilation_cache()
     cfg.validate()
 
@@ -215,6 +218,9 @@ def test_net(
     Like the reference, every test_net call renders the first 3 samples
     (core/test.py:179-187) and streams metrics + renders to the writer.
     """
+    from swinvox_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize(cfg)
     enable_compilation_cache()
     cfg.validate()
     model, state, _ = create_train_state(cfg, jax.random.PRNGKey(cfg.CONST.RNG_SEED))

@@ -14,6 +14,7 @@ TensorBoard's own event_accumulator.
 
 from __future__ import annotations
 
+import itertools
 import os
 import socket
 import struct
@@ -123,10 +124,16 @@ def _image_summary(
 class EventFileWriter:
     """Append TensorBoard events to a `events.out.tfevents.*` file."""
 
+    _seq = itertools.count()  # per-process uniquifier
+
     def __init__(self, log_dir: str, suffix: str = ""):
         os.makedirs(log_dir, exist_ok=True)
         host = socket.gethostname()
-        name = f"events.out.tfevents.{int(time.time())}.{host}{suffix}"
+        # pid + counter (as tensorboardX does): two writers opened in the
+        # same directory within the same second must not append to one
+        # file and interleave their event streams
+        uniq = f"{os.getpid()}.{next(self._seq)}"
+        name = f"events.out.tfevents.{int(time.time())}.{host}.{uniq}{suffix}"
         self.path = os.path.join(log_dir, name)
         self._fh = open(self.path, "ab")
         self._record(_event(time.time(), file_version="brain.Event:2"))

@@ -57,3 +57,27 @@ def test_default_config_taxonomy_path_resolves():
         os.chdir(cwd)
     assert len(info) == 13
     assert info["02691156"].baselines["3-view"] == pytest.approx(0.549)
+
+
+def test_taxonomy_resolves_from_any_cwd(tmp_path):
+    """resolve_data_path falls back to swinvox_tpu.datasets package data
+    when the cwd-relative ./datasets/*.json does not exist (installed
+    console scripts run outside a repo checkout — ADVICE r2)."""
+    from swinvox_tpu import default_config
+    from swinvox_tpu.config import resolve_data_path
+    from swinvox_tpu.data.taxonomy import DATASET_INDEX_MAPPING
+
+    cfg = default_config()
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # no ./datasets here
+    try:
+        resolved = resolve_data_path(cfg.DATASETS.SHAPENET.TAXONOMY_FILE_PATH)
+        assert os.path.isabs(resolved) and os.path.exists(resolved)
+        info = DATASET_INDEX_MAPPING["ShapeNet"](cfg).taxonomy_info()
+    finally:
+        os.chdir(cwd)
+    assert len(info) == 13
+    # an existing custom path passes through untouched
+    custom = tmp_path / "my.json"
+    custom.write_text("[]")
+    assert resolve_data_path(str(custom)) == str(custom)

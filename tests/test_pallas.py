@@ -458,6 +458,77 @@ def test_merger_band_train_parity(rng):
         assert diff <= 5e-3 * scale, f"{name}: {diff} vs scale {scale}"
 
 
+def test_merger_band2d_parity(rng):
+    """Merger with the dense-lane 2D band convs (ops/band2d_merger.py,
+    pure XLA) == the direct XLA merger: outputs, BN batch-stat updates,
+    and gradients, in BOTH train and eval modes."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.models.merger import Merger
+
+    raw = jnp.asarray(
+        rng.standard_normal((2, 3, 32, 32, 32, 9)), jnp.float32
+    )
+    coarse = jnp.asarray(
+        rng.standard_normal((2, 3, 32, 32, 32)), jnp.float32
+    )
+    ref = Merger(dtype=jnp.float32)
+    band = Merger(dtype=jnp.float32, use_band2d=True)
+    v = ref.init(jax.random.PRNGKey(0), raw, coarse, True)
+    assert tu.tree_structure(
+        band.init(jax.random.PRNGKey(0), raw, coarse, True)
+    ) == tu.tree_structure(v)
+
+    # eval mode (running stats)
+    e0 = ref.apply(v, raw, coarse, False)
+    e1 = band.apply(v, raw, coarse, False)
+    np.testing.assert_allclose(
+        np.asarray(e1), np.asarray(e0), rtol=1e-4, atol=1e-5
+    )
+
+    def loss(mod):
+        def f(p, raw):
+            out, mut = mod.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                raw, coarse, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2), (out, mut)
+        return f
+
+    (l0, (out0, mut0)), g0 = jax.value_and_grad(
+        loss(ref), has_aux=True
+    )(v["params"], raw)
+    (l1, (out1, mut1)), g1 = jax.value_and_grad(
+        loss(band), has_aux=True
+    )(v["params"], raw)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), rtol=1e-4, atol=1e-5
+    )
+    key_of = lambda kv: tu.keystr(kv[0])  # noqa: E731
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(mut0)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(mut1)[0], key=key_of),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=tu.keystr(pth),
+        )
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(g0)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(g1)[0], key=key_of),
+    ):
+        name = tu.keystr(pth)
+        if "Conv_0']['bias" in name:
+            # BN right after each conv makes the bias grad ~0 by
+            # cancellation; both paths are noise there (see the band
+            # train-parity test above)
+            continue
+        scale = np.abs(np.asarray(a)).max() + 1e-6
+        diff = np.abs(np.asarray(b) - np.asarray(a)).max()
+        assert diff <= 5e-3 * scale, f"{name}: {diff} vs scale {scale}"
+
+
 def test_unrolled_conv1ch_grad_parity(rng):
     """conv3d_1ch (tap-unrolled custom backward for the refiner's first
     conv) == plain lax conv in value and both gradients."""

@@ -1,0 +1,317 @@
+"""Numerical parity against the reference's OWN torch modules.
+
+The reference's models/{decoder,merger,refiner,cross_view_attention}.py
+are dependency-free torch files (torch is installed; timm/torchvision —
+needed only by its encoder — are not).  These tests instantiate the
+actual reference modules, graft their state dicts onto our flax trees via
+models/pretrained.py's converters, and assert float32 forward parity and
+BCE-loss input-gradient parity on random inputs.  This turns "faithful by
+construction" into a direct confrontation with the reference's code:
+  * decoder raw/coarse split           (reference models/decoder.py:89-99)
+  * merger softmax-over-views fusion   (reference models/merger.py:98-104)
+  * refiner skips + (in+out)/2         (reference models/refiner.py:95-103)
+  * CVA scores/scale/residual/FFN      (reference models/cross_view_attention.py:89-132)
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.dont_write_bytecode = True
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from swinvox_tpu.models.cross_view import CrossViewAttention  # noqa: E402
+from swinvox_tpu.models.decoder import Decoder  # noqa: E402
+from swinvox_tpu.models.merger import Merger  # noqa: E402
+from swinvox_tpu.models.pretrained import (  # noqa: E402
+    convert_reference_cross_view,
+    convert_reference_decoder,
+    convert_reference_merger,
+    convert_reference_refiner,
+)
+from swinvox_tpu.models.refiner import Refiner  # noqa: E402
+
+
+class _NS:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _ref_cfg():
+    """The reference NETWORK flags these modules read (config.py:84-94)."""
+    return _NS(
+        NETWORK=_NS(
+            TCONV_USE_BIAS=False,
+            LEAKY_VALUE=0.2,
+            CROSS_ATT_NUM_HEADS=4,
+            CROSS_ATT_REDUCTION_RATIO=4,
+            ATT_SPATIAL_DOWNSAMPLE_RATIO=2,
+        )
+    )
+
+
+def _randomize_bn_stats(module, gen):
+    """Non-trivial running stats so eval-mode BN parity is a real test."""
+    for m in module.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.running_mean.copy_(
+                torch.from_numpy(
+                    gen.normal(0, 0.5, m.running_mean.shape).astype("float32")
+                )
+            )
+            m.running_var.copy_(
+                torch.from_numpy(
+                    (0.5 + gen.random(m.running_var.shape)).astype("float32")
+                )
+            )
+
+
+def _state_dict(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def _graft(dst, src, path=""):
+    """Overwrite the leaves of an initialized flax tree with converted
+    values, asserting shapes match exactly (no silent broadcasting)."""
+    out = {}
+    assert set(src.keys()) <= set(dst.keys()), (
+        f"{path}: converted keys {sorted(src)} not all in tree "
+        f"{sorted(dst)}"
+    )
+    for k, v in dst.items():
+        if k in src:
+            if isinstance(v, dict):
+                out[k] = _graft(v, src[k], f"{path}/{k}")
+            else:
+                assert tuple(v.shape) == tuple(np.shape(src[k])), (
+                    f"{path}/{k}: {v.shape} vs {np.shape(src[k])}"
+                )
+                out[k] = jnp.asarray(src[k], v.dtype)
+        else:
+            out[k] = v
+    return out
+
+
+def _bce(p, t):
+    p = np.clip(p, 1e-7, 1 - 1e-7)
+    return -(t * np.log(p) + (1 - t) * np.log(1 - p)).mean()
+
+
+def _torch_bce_input_grad(module, inputs, pick, target):
+    xs = [torch.from_numpy(x).requires_grad_(True) for x in inputs]
+    out = pick(module(*xs))
+    loss = torch.nn.functional.binary_cross_entropy(
+        torch.sigmoid(out), torch.from_numpy(target)
+    )
+    loss.backward()
+    return (
+        out.detach().numpy(),
+        float(loss.detach()),
+        [x.grad.numpy() for x in xs],
+    )
+
+
+def _jax_bce_input_grad(apply_fn, inputs, target):
+    t = jnp.asarray(target)
+
+    def loss_fn(*xs):
+        out = apply_fn(*xs)
+        p = jnp.clip(jax.nn.sigmoid(out), 1e-7, 1 - 1e-7)
+        loss = -(t * jnp.log(p) + (1 - t) * jnp.log(1 - p)).mean()
+        return loss, out
+
+    (loss, out), grads = jax.value_and_grad(
+        loss_fn, argnums=tuple(range(len(inputs))), has_aux=True
+    )(*[jnp.asarray(x) for x in inputs])
+    return np.asarray(out), float(loss), [np.asarray(g) for g in grads]
+
+
+# ------------------------------------------------------------- decoder
+def test_decoder_parity(rng):
+    from models.decoder import Decoder as TorchDecoder
+
+    tm = TorchDecoder(_ref_cfg()).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tm, rng)
+
+    b, n = 2, 2
+    x = rng.normal(0, 1, (b, n, 256, 7, 7)).astype(np.float32)
+    target = (rng.random((b, n, 32, 32, 32)) > 0.6).astype(np.float32)
+    t_coarse_out, t_loss, (t_gx,) = _torch_bce_input_grad(
+        tm, [x], lambda o: o[1], target
+    )
+    with torch.no_grad():
+        t_raw = tm(torch.from_numpy(x))[0].numpy()
+
+    jm = Decoder(tconv_use_bias=False, dtype=jnp.float32)
+    x_j = np.ascontiguousarray(x.transpose(0, 1, 3, 4, 2))  # NCHW -> NHWC
+    variables = jm.init(jax.random.PRNGKey(0), jnp.asarray(x_j), train=False)
+    p, s = convert_reference_decoder(_state_dict(tm))
+    variables = {
+        "params": _graft(variables["params"], p),
+        "batch_stats": _graft(variables["batch_stats"], s),
+    }
+
+    def fwd_coarse(xin):
+        return jm.apply(variables, xin, train=False)[1]
+
+    j_coarse, j_loss, (j_gx,) = _jax_bce_input_grad(fwd_coarse, [x_j], target)
+    j_raw = np.asarray(
+        jm.apply(variables, jnp.asarray(x_j), train=False)[0]
+    )
+
+    np.testing.assert_allclose(j_coarse, t_coarse_out, rtol=1e-4, atol=1e-4)
+    # torch raw [B,N,9,D,H,W] vs ours [B,N,D,H,W,9]
+    np.testing.assert_allclose(
+        j_raw, t_raw.transpose(0, 1, 3, 4, 5, 2), rtol=1e-4, atol=1e-4
+    )
+    assert j_loss == pytest.approx(t_loss, rel=1e-4)
+    np.testing.assert_allclose(
+        j_gx, t_gx.transpose(0, 1, 3, 4, 2), rtol=1e-3, atol=1e-6
+    )
+
+
+# -------------------------------------------------------------- merger
+def _merger_pair(rng):
+    from models.merger import Merger as TorchMerger
+
+    tm = TorchMerger(_ref_cfg()).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tm, rng)
+    jm = Merger(leaky_value=0.2, dtype=jnp.float32)
+    b, n = 2, 3
+    raw = rng.normal(0, 1, (b, n, 9, 32, 32, 32)).astype(np.float32)
+    coarse = rng.normal(0, 1, (b, n, 32, 32, 32)).astype(np.float32)
+    raw_j = np.ascontiguousarray(raw.transpose(0, 1, 3, 4, 5, 2))
+    variables = jm.init(
+        jax.random.PRNGKey(0), jnp.asarray(raw_j), jnp.asarray(coarse),
+        train=False,
+    )
+    p, s = convert_reference_merger(_state_dict(tm))
+    variables = {
+        "params": _graft(variables["params"], p),
+        "batch_stats": _graft(variables["batch_stats"], s),
+    }
+    return tm, jm, variables, raw, raw_j, coarse
+
+
+def test_merger_parity(rng):
+    tm, jm, variables, raw, raw_j, coarse = _merger_pair(rng)
+    b = raw.shape[0]
+    target = (rng.random((b, 32, 32, 32)) > 0.6).astype(np.float32)
+
+    t_out, t_loss, t_grads = _torch_bce_input_grad(
+        tm, [raw, coarse], lambda o: o, target
+    )
+
+    def fwd(r, c):
+        return jm.apply(variables, r, c, train=False)
+
+    j_out, j_loss, j_grads = _jax_bce_input_grad(fwd, [raw_j, coarse], target)
+    np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=1e-4)
+    assert j_loss == pytest.approx(t_loss, rel=1e-4)
+    np.testing.assert_allclose(
+        j_grads[0], t_grads[0].transpose(0, 1, 3, 4, 5, 2),
+        rtol=1e-3, atol=1e-6,
+    )
+    np.testing.assert_allclose(j_grads[1], t_grads[1], rtol=1e-3, atol=1e-6)
+
+
+def test_merger_parity_train_mode_batch_stats(rng):
+    """Training-mode BN (biased batch variance, cross-volume stats) vs
+    torch train() — the statistics path checkpoints never exercise."""
+    tm, jm, variables, raw, raw_j, coarse = _merger_pair(rng)
+    tm.train()
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(raw), torch.from_numpy(coarse)).numpy()
+    j_out, _ = jm.apply(
+        variables, jnp.asarray(raw_j), jnp.asarray(coarse), train=True,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(j_out), t_out, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------- refiner
+def test_refiner_parity(rng):
+    from models.refiner import Refiner as TorchRefiner
+
+    tm = TorchRefiner(_ref_cfg()).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tm, rng)
+
+    b = 2
+    x = rng.normal(0, 1, (b, 32, 32, 32)).astype(np.float32)
+    target = (rng.random((b, 32, 32, 32)) > 0.6).astype(np.float32)
+    t_out, t_loss, (t_gx,) = _torch_bce_input_grad(
+        tm, [x], lambda o: o, target
+    )
+
+    jm = Refiner(leaky_value=0.2, tconv_use_bias=False, dtype=jnp.float32)
+    variables = jm.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    p, s = convert_reference_refiner(_state_dict(tm))
+    variables = {
+        "params": _graft(variables["params"], p),
+        "batch_stats": _graft(variables["batch_stats"], s),
+    }
+
+    def fwd(xin):
+        return jm.apply(variables, xin, train=False)
+
+    j_out, j_loss, (j_gx,) = _jax_bce_input_grad(fwd, [x], target)
+    np.testing.assert_allclose(j_out, t_out, rtol=1e-4, atol=1e-4)
+    assert j_loss == pytest.approx(t_loss, rel=1e-4)
+    np.testing.assert_allclose(j_gx, t_gx, rtol=1e-3, atol=1e-6)
+
+
+# ----------------------------------------------------- cross-view attn
+@pytest.mark.parametrize("downsample", [2, 1])
+def test_cross_view_parity(rng, downsample):
+    from models.cross_view_attention import (
+        CrossViewAttention as TorchCVA,
+    )
+
+    cfg = _ref_cfg()
+    cfg.NETWORK.ATT_SPATIAL_DOWNSAMPLE_RATIO = downsample
+    c, h, w = 64, 14, 14
+    tm = TorchCVA(cfg, in_channels=c).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tm, rng)
+
+    b, n = 2, 3
+    x = rng.normal(0, 1, (b, n, c, h, w)).astype(np.float32)
+    target = (rng.random((b, n, c, h, w)) > 0.5).astype(np.float32)
+    t_out, t_loss, (t_gx,) = _torch_bce_input_grad(
+        tm, [x], lambda o: o, target
+    )
+
+    jm = CrossViewAttention(
+        in_channels=c, num_heads=4, reduction_ratio=4,
+        spatial_downsample_ratio=downsample, dtype=jnp.float32,
+    )
+    x_j = np.ascontiguousarray(x.transpose(0, 1, 3, 4, 2))
+    target_j = np.ascontiguousarray(target.transpose(0, 1, 3, 4, 2))
+    variables = jm.init(jax.random.PRNGKey(0), jnp.asarray(x_j), train=False)
+    p, s = convert_reference_cross_view(_state_dict(tm))
+    variables = {
+        "params": _graft(variables["params"], p),
+        "batch_stats": _graft(variables["batch_stats"], s),
+    }
+
+    def fwd(xin):
+        return jm.apply(variables, xin, train=False)
+
+    j_out, j_loss, (j_gx,) = _jax_bce_input_grad(fwd, [x_j], target_j)
+    np.testing.assert_allclose(
+        j_out, t_out.transpose(0, 1, 3, 4, 2), rtol=1e-4, atol=1e-4
+    )
+    assert j_loss == pytest.approx(t_loss, rel=1e-4)
+    np.testing.assert_allclose(
+        j_gx, t_gx.transpose(0, 1, 3, 4, 2), rtol=1e-3, atol=1e-5
+    )

@@ -8,7 +8,7 @@ import urllib.request
 import numpy as np
 import pytest
 
-from swinvox_tpu.serve import BatchingServer, _fit_views
+from swinvox_tpu.serve import BatchingServer, ServerOverloadedError, _fit_views
 
 
 class FakePredictor:
@@ -178,6 +178,78 @@ def test_http_server(rng):
             assert stats["requests"] == 1
         finally:
             httpd.shutdown()
+
+
+def test_backpressure_queue_full(rng):
+    """submit() raises ServerOverloadedError when max_queue is hit; the
+    server keeps serving the accepted requests."""
+    fake = FakePredictor(delay_s=0.2)  # slow device -> queue fills
+    with BatchingServer(
+        fake, batch_size=1, n_views=1, max_queue=2, max_wait_ms=0.0
+    ) as server:
+        futs, rejected = [], 0
+        for i in range(32):
+            try:
+                futs.append(server.submit(_req(rng, n_views=1, value=1.0)))
+            except ServerOverloadedError:
+                rejected += 1
+        assert rejected > 0  # queue bound enforced
+        assert futs  # and some got through
+        for f in futs:
+            np.testing.assert_allclose(f.result(timeout=60), 1.0, rtol=1e-6)
+    assert server.stats()["rejected_overload"] == rejected
+
+
+def test_request_timeout(rng):
+    """Requests older than timeout_ms fail with TimeoutError instead of
+    occupying a device batch."""
+    fake = FakePredictor(delay_s=0.3)
+    with BatchingServer(
+        fake, batch_size=1, n_views=1, max_wait_ms=0.0, timeout_ms=100.0
+    ) as server:
+        futs = [server.submit(_req(rng, n_views=1, value=1.0)) for _ in range(6)]
+        outcomes = []
+        for f in futs:
+            try:
+                f.result(timeout=60)
+                outcomes.append("ok")
+            except TimeoutError:
+                outcomes.append("timeout")
+    # the first request runs; with a 300 ms device and a 100 ms deadline
+    # the deep queue tail must expire
+    assert outcomes[0] == "ok"
+    assert "timeout" in outcomes
+    assert server.stats()["timed_out"] == outcomes.count("timeout")
+
+
+def test_close_submit_race_no_hung_future(rng):
+    """A submit() racing close() either raises or resolves — it can never
+    return a Future that hangs forever (ADVICE r2: stop-check and enqueue
+    are atomic vs close)."""
+    for _ in range(10):
+        fake = FakePredictor(delay_s=0.005)
+        server = BatchingServer(fake, batch_size=2, n_views=1, max_wait_ms=1.0)
+        futs = []
+
+        def hammer():
+            for _ in range(50):
+                try:
+                    futs.append(server.submit(_req(rng, n_views=1, value=1.0)))
+                except RuntimeError:  # "server is closed" is fine
+                    return
+
+        t = threading.Thread(target=hammer)
+        t.start()
+        time.sleep(0.01)
+        server.close()
+        t.join(timeout=30)
+        assert not t.is_alive()
+        for f in futs:
+            # every accepted Future must resolve (result OR exception)
+            try:
+                f.result(timeout=10)  # 10 s >> any real drain time
+            except RuntimeError:
+                pass
 
 
 def test_shape_mismatch_rejected_in_client_thread(rng):
