@@ -23,6 +23,10 @@ def main() -> int:
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--n-views", type=int, default=3)
+    parser.add_argument("--train-samples", type=int, default=48,
+                        help="synthetic train-split size (val/test = 1/6)")
+    parser.add_argument("--views", type=int, default=6,
+                        help="rendered views per synthetic sample")
     parser.add_argument("--nano", action="store_true",
                         help="tiny backbone for CPU smoke runs")
     parser.add_argument("--init", choices=("reference", "standard"),
@@ -38,8 +42,11 @@ def main() -> int:
         from swinvox_tpu.data.synthetic import generate_dataset
 
         logging.info("Generating synthetic dataset under %s ...", data_dir)
+        holdout = max(4, args.train_samples // 6)
         cfg = generate_dataset(
-            data_dir, n_samples_per_split=(48, 8, 8), n_views=6
+            data_dir,
+            n_samples_per_split=(args.train_samples, holdout, holdout),
+            n_views=args.views,
         )
     else:
         from swinvox_tpu.config import default_config

@@ -162,6 +162,9 @@ class NetworkConfig:
     # LN1+W-MSA+residual+LN2+MLP in one kernel (supersedes the W-MSA-only
     # kernel on deterministic passes).  Measured at batch 128: 2012 ->
     # 2222 img/s whole-model (+10%)
+    # run every Pallas kernel in the interpreter (CPU tests of the
+    # kernel + GSPMD composition; never set on real hardware)
+    PALLAS_INTERPRET: bool = False
     USE_PALLAS_SWIN_BLOCK: bool = True
     # the TRAINING variant: forward with stochastic-depth factors plus a
     # full in-kernel backward (flash-style recompute; weight grads

@@ -43,6 +43,7 @@ class Encoder(nn.Module):
     use_pallas: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
+    pallas_interpret: bool = False  # run kernels in the Pallas interpreter
     # backbone scale knobs (defaults = reference's ResNet-50 + Swin-Tiny;
     # smaller settings give cheap CI variants and a model-family axis)
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
@@ -70,6 +71,7 @@ class Encoder(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_block=self.use_pallas_swin_block,
             use_pallas_block_train=self.use_pallas_swin_block_train,
+            pallas_interpret=self.pallas_interpret,
             name="swin",
         )(img, train)
         # reference wrapper: per selected stage LayerNorm([C,H,W]) + dropout

@@ -57,6 +57,7 @@ class SwinVoxModel(nn.Module):
     refiner_unrolled_conv: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
+    pallas_interpret: bool = False  # run Pallas kernels in the interpreter
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
     resnet_stage_depths: Tuple[int, int, int] = (3, 4, 6)
 
@@ -82,6 +83,7 @@ class SwinVoxModel(nn.Module):
             refiner_unrolled_conv=net.REFINER_UNROLLED_CONV,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
             use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
+            pallas_interpret=net.PALLAS_INTERPRET,
             swin_depths=tuple(net.SWIN_DEPTHS),
             resnet_stage_depths=tuple(net.RESNET_STAGE_DEPTHS),
         )
@@ -105,6 +107,7 @@ class SwinVoxModel(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_swin_block=self.use_pallas_swin_block,
             use_pallas_swin_block_train=self.use_pallas_swin_block_train,
+            pallas_interpret=self.pallas_interpret,
             swin_depths=self.swin_depths,
             resnet_stage_depths=self.resnet_stage_depths,
             name="encoder",
@@ -121,6 +124,7 @@ class SwinVoxModel(nn.Module):
                 use_pallas=self.use_pallas_merger,
                 use_pallas_train=self.use_pallas_merger_train,
                 use_band2d=self.use_band2d_merger,
+                pallas_interpret=self.pallas_interpret,
                 name="merger",
             )(raw_features, coarse, train)
         else:

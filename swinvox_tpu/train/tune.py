@@ -54,7 +54,7 @@ class Trial:
         return max(self.values) if self.values else -1.0
 
 
-def _sample(space: Dict[str, Any], rng: random.Random) -> Dict[str, Any]:
+def _random_sample(space: Dict[str, Any], rng: random.Random) -> Dict[str, Any]:
     params = {}
     for key, spec in space.items():
         if isinstance(spec, list):
@@ -70,6 +70,99 @@ def _sample(space: Dict[str, Any], rng: random.Random) -> Dict[str, Any]:
             else:
                 params[key] = rng.uniform(low, high)
     return params
+
+
+class TPESampler:
+    """Tree-structured Parzen Estimator — the reference study's sampler
+    (optuna's default, utils/optuna_tune.py:100-133), natively.
+
+    Bergstra et al. (NeurIPS 2011): after ``n_startup`` random trials,
+    split past observations by the top-``gamma`` quantile of the
+    objective (maximized here) into good/bad sets, model each dimension
+    independently — Gaussian KDE on a linear or log scale for floats,
+    Laplace-smoothed frequencies for categoricals — draw
+    ``n_ei_candidates`` from the good model l(x), and keep the candidate
+    maximizing l(x)/g(x).
+    """
+
+    def __init__(self, seed: int = 0, n_startup: int = 3,
+                 gamma: float = 0.25, n_ei_candidates: int = 24):
+        self.rng = random.Random(seed)
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_ei = n_ei_candidates
+
+    # ---- per-dimension models -------------------------------------
+    def _cat_weights(self, obs: List[Any], choices: List[Any]):
+        counts = {c: 1.0 for c in choices}  # Laplace smoothing
+        for o in obs:
+            counts[o] = counts.get(o, 1.0) + 1.0
+        total = sum(counts[c] for c in choices)
+        return [counts[c] / total for c in choices]
+
+    def _kde(self, obs: List[float], low: float, high: float):
+        """Gaussian mixture over observations + a broad prior component."""
+        import math
+
+        centers = list(obs) + [(low + high) / 2.0]  # prior at midpoint
+        span = high - low
+        n = len(centers)
+        sigma = max(span / min(40.0, 2.0 + 2.0 * n), 1e-12)
+        prior_sigma = span  # the midpoint component stays broad
+
+        def pdf(x: float) -> float:
+            acc = 0.0
+            for i, c in enumerate(centers):
+                s = prior_sigma if i == n - 1 else sigma
+                z = (x - c) / s
+                acc += math.exp(-0.5 * z * z) / s
+            return acc / n
+
+        def draw() -> float:
+            i = self.rng.randrange(n)
+            s = prior_sigma if i == n - 1 else sigma
+            for _ in range(16):  # truncate to [low, high] by rejection
+                x = self.rng.gauss(centers[i], s)
+                if low <= x <= high:
+                    return x
+            return min(max(x, low), high)
+
+        return pdf, draw
+
+    # ---- sampling ---------------------------------------------------
+    def sample(self, space: Dict[str, Any], trials: List["Trial"]):
+        import math
+
+        scored = [t for t in trials if t.values]
+        if len(scored) < self.n_startup:
+            return _random_sample(space, self.rng)
+        scored.sort(key=lambda t: t.best_value, reverse=True)  # maximize
+        n_good = max(1, int(math.ceil(self.gamma * len(scored))))
+        good, bad = scored[:n_good], scored[n_good:] or scored[-1:]
+
+        params: Dict[str, Any] = {}
+        for key, spec in space.items():
+            g_obs = [t.params[key] for t in good if key in t.params]
+            b_obs = [t.params[key] for t in bad if key in t.params]
+            if isinstance(spec, list):
+                wl = self._cat_weights(g_obs, spec)
+                wg = self._cat_weights(b_obs, spec)
+                cands = self.rng.choices(spec, weights=wl, k=self.n_ei)
+                params[key] = max(
+                    cands,
+                    key=lambda c: wl[spec.index(c)] / wg[spec.index(c)],
+                )
+            else:
+                low, high, mode = spec
+                tr = math.log if mode == "log" else (lambda v: v)
+                inv = math.exp if mode == "log" else (lambda v: v)
+                lo, hi = tr(low), tr(high)
+                l_pdf, l_draw = self._kde([tr(v) for v in g_obs], lo, hi)
+                g_pdf, _ = self._kde([tr(v) for v in b_obs], lo, hi)
+                cands = [l_draw() for _ in range(self.n_ei)]
+                best = max(cands, key=lambda z: l_pdf(z) / (g_pdf(z) + 1e-300))
+                params[key] = inv(best)
+        return params
 
 
 def _median_at_epoch(trials: List[Trial], epoch: int) -> Optional[float]:
@@ -93,22 +186,28 @@ def tune(
     min_iou: float = 0.2,
     grace_epochs: int = 10,
     seed: int = 0,
+    sampler: str = "tpe",
 ) -> Dict[str, Any]:
     """Run the study; returns {'best_params', 'best_value', 'trials'}.
 
     `objective(trial_cfg, n_epochs, report) -> best_iou` defaults to a real
     short training run; `report(epoch, iou) -> should_prune` implements
-    median pruning + the hopeless-trial early stop.
+    median pruning + the hopeless-trial early stop.  sampler: "tpe"
+    (the reference study's optuna default) or "random".
     """
     space = search_space or DEFAULT_SEARCH_SPACE
     rng = random.Random(seed)
+    tpe = TPESampler(seed=seed) if sampler == "tpe" else None
     trials: List[Trial] = []
 
     if objective is None:
         objective = _default_objective
 
     for number in range(n_trials):
-        params = _sample(space, rng)
+        params = (
+            tpe.sample(space, trials) if tpe is not None
+            else _random_sample(space, rng)
+        )
         trial = Trial(number=number, params=params)
         trials.append(trial)
         trial_cfg = copy.deepcopy(cfg)

@@ -204,6 +204,50 @@ def test_tuner_prunes_and_reports(tmp_path):
     assert "COMPLETE" in states
 
 
+def test_tpe_sampler_concentrates(tmp_path):
+    """The native TPE sampler (the reference study's optuna default)
+    must beat uniform sampling on a smooth 1-D objective and learn a
+    categorical preference."""
+    from swinvox_tpu.train.tune import TPESampler, Trial, tune
+
+    # ---- continuous: maximize -(x - 0.3)^2 ------------------------------
+    space = {"X": (0.0, 1.0, "uniform")}
+    sampler = TPESampler(seed=0, n_startup=4)
+    trials = []
+    for i in range(30):
+        p = sampler.sample(space, trials)
+        t = Trial(number=i, params=p)
+        t.values = [-((p["X"] - 0.3) ** 2)]
+        t.state = "COMPLETE"
+        trials.append(t)
+    best = max(trials, key=lambda t: t.best_value)
+    assert abs(best.params["X"] - 0.3) < 0.1
+    late = [t.params["X"] for t in trials[-10:]]
+    early = [t.params["X"] for t in trials[:4]]  # the random startups
+    mean_dist = lambda xs: sum(abs(x - 0.3) for x in xs) / len(xs)  # noqa
+    assert mean_dist(late) < mean_dist(early)
+
+    # ---- categorical: the study converges on the better batch size ------
+    from swinvox_tpu.config import default_config
+
+    cfg = default_config()
+    cfg.DIR.OUT_PATH = str(tmp_path)
+
+    def fake_objective(trial_cfg, n_epochs, report):
+        iou = 0.8 if trial_cfg.CONST.BATCH_SIZE == 64 else 0.2
+        report(0, iou)
+        return iou
+
+    result = tune(
+        cfg, n_trials=10, n_epochs=1, objective=fake_objective, seed=0,
+        sampler="tpe",
+    )
+    assert result["best_params"]["CONST.BATCH_SIZE"] == 64
+    late_picks = [t["params"]["CONST.BATCH_SIZE"]
+                  for t in result["trials"][-5:]]
+    assert late_picks.count(64) >= 3
+
+
 def test_lr_finder(fixture_cfg, tmp_path):
     import copy
 
