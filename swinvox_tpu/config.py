@@ -153,6 +153,13 @@ class NetworkConfig:
     # Conv3d stack stops running 14x lane-padded; full autodiff +
     # training-mode BN.  Applies to BOTH train and eval paths
     USE_BAND2D_MERGER: bool = False
+    # merger convs as Pallas slab band-convs (ops/pallas_slab_conv.py):
+    # the dense-lane band trick with the matmuls VMEM-resident and an
+    # in-kernel exact backward (custom_vjp), so the band-zero FLOP
+    # inflation rides the idle MXU instead of HBM (the pure-XLA band2d
+    # variant measurably LOST on bandwidth: 555 -> 534 img/s).  BN and
+    # LeakyReLU stay in XLA: training batch stats + param tree unchanged
+    USE_SLAB_MERGER: bool = False
     # tap-unrolled custom backward for the refiner's 1-channel first conv
     # (ops/unrolled_conv.py — pure XLA reassociation; fwd unchanged).
     # Off: measured 153.7 -> 298.6 ms/step at batch 64 — the chunked

@@ -43,6 +43,12 @@ class Merger(nn.Module):
     # (ops/band2d_merger.py) — packs (h, c) into lanes so the 9-channel
     # convs stop running 14x lane-padded; autodiff + train BN for free
     use_band2d: bool = False
+    # both paths: each conv as a Pallas slab band-conv with in-kernel
+    # forward AND backward (ops/pallas_slab_conv.py) — lanes stay dense,
+    # the dw taps fold into banded MXU matmuls; BN/bias/LeakyReLU stay
+    # in XLA so training-mode batch stats and the param tree are
+    # unchanged
+    use_slab: bool = False
     # run the fused kernel in the Pallas interpreter (CPU parity tests)
     pallas_interpret: bool = False
 
@@ -93,6 +99,38 @@ class Merger(nn.Module):
                 x, kernels, biases, bn_params, leaky=self.leaky_value,
                 interpret=self.pallas_interpret,
             ).reshape(b, n_views, 32, 32, 32)
+        elif self.use_slab and (
+            self.pallas_interpret or jax.default_backend() == "tpu"
+        ):
+            from swinvox_tpu.ops.pallas_slab_conv import (
+                pack_slab,
+                slab_band_conv,
+                unpack_slab,
+            )
+
+            def layer(i, y5d):
+                # y5d: [V, D, H, W, ci] -> conv -> BN -> leaky; the param
+                # tree is materialized by the dummy-trace trick (see the
+                # use_fused branch above)
+                ci, co = _CHANNELS[i]
+                convs[i](jnp.zeros((1, 3, 3, 3, ci), self.dtype))
+                cp = convs[i].variables["params"]["Conv_0"]
+                z = slab_band_conv(
+                    pack_slab(y5d), cp["kernel"],
+                    interpret=self.pallas_interpret,
+                )
+                y = unpack_slab(z, co) + cp["bias"].astype(z.dtype)
+                y = norms[i](y, train)
+                return nn.leaky_relu(y, self.leaky_value)
+
+            y = x
+            intermediates = []
+            for i in range(4):
+                y = layer(i, y)
+                intermediates.append(y)
+            y = layer(4, jnp.concatenate(intermediates, axis=-1))
+            y = layer(5, y)
+            weights = y[..., 0].reshape(b, n_views, 32, 32, 32)
         elif self.use_band2d:
             from swinvox_tpu.ops.band2d_merger import (
                 band2d_conv,

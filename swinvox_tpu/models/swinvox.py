@@ -54,6 +54,7 @@ class SwinVoxModel(nn.Module):
     use_pallas_merger: bool = False
     use_pallas_merger_train: bool = False
     use_band2d_merger: bool = False
+    use_slab_merger: bool = False
     refiner_unrolled_conv: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
@@ -80,6 +81,7 @@ class SwinVoxModel(nn.Module):
             use_pallas_merger=net.USE_PALLAS_MERGER,
             use_pallas_merger_train=net.USE_PALLAS_MERGER_TRAIN,
             use_band2d_merger=net.USE_BAND2D_MERGER,
+            use_slab_merger=net.USE_SLAB_MERGER,
             refiner_unrolled_conv=net.REFINER_UNROLLED_CONV,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
             use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
@@ -124,6 +126,7 @@ class SwinVoxModel(nn.Module):
                 use_pallas=self.use_pallas_merger,
                 use_pallas_train=self.use_pallas_merger_train,
                 use_band2d=self.use_band2d_merger,
+                use_slab=self.use_slab_merger,
                 pallas_interpret=self.pallas_interpret,
                 name="merger",
             )(raw_features, coarse, train)

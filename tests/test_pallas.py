@@ -599,3 +599,118 @@ def test_refiner_unrolled_conv_parity(rng):
         assert np.abs(np.asarray(y) - np.asarray(x)).max() <= 1e-3 * scale, (
             tu.keystr(pth)
         )
+
+
+@pytest.mark.parametrize("ci,co", [(9, 9), (36, 9), (9, 1)])
+def test_slab_band_conv_parity(rng, ci, co):
+    """ops/pallas_slab_conv.py (interpret): forward + input/kernel grads
+    of each merger Conv3d shape vs the XLA conv (padding 1, NDHWC)."""
+    from swinvox_tpu.ops.pallas_slab_conv import (
+        pack_slab,
+        slab_band_conv,
+        unpack_slab,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 32, ci)), jnp.float32)
+    k = jnp.asarray(
+        rng.standard_normal((3, 3, 3, ci, co)) * 0.1, jnp.float32
+    )
+    ct = jnp.asarray(rng.standard_normal((2, 32, 32, 32, co)), jnp.float32)
+
+    def f_slab(x5, kk):
+        z = slab_band_conv(pack_slab(x5), kk, interpret=True)
+        return unpack_slab(z, co)
+
+    def f_xla(x5, kk):
+        dn = jax.lax.conv_dimension_numbers(
+            x5.shape, kk.shape, ("NDHWC", "DHWIO", "NDHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            x5, kk, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=dn,
+        )
+
+    y1, y0 = f_slab(x, k), f_xla(x, k)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-4
+    )
+    g1 = jax.grad(
+        lambda x5, kk: jnp.sum(f_slab(x5, kk) * ct), argnums=(0, 1)
+    )(x, k)
+    g0 = jax.grad(
+        lambda x5, kk: jnp.sum(f_xla(x5, kk) * ct), argnums=(0, 1)
+    )(x, k)
+    np.testing.assert_allclose(
+        np.asarray(g1[0]), np.asarray(g0[0]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1[1]), np.asarray(g0[1]), rtol=1e-4, atol=2e-3
+    )
+
+
+def test_merger_slab_parity(rng):
+    """Merger with use_slab (Pallas slab band-convs, interpret) == the
+    direct XLA merger: outputs, BN batch-stat updates, and gradients."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.models.merger import Merger
+
+    raw = jnp.asarray(
+        rng.standard_normal((2, 3, 32, 32, 32, 9)), jnp.float32
+    )
+    coarse = jnp.asarray(
+        rng.standard_normal((2, 3, 32, 32, 32)), jnp.float32
+    )
+    ref = Merger(dtype=jnp.float32)
+    slab = Merger(dtype=jnp.float32, use_slab=True, pallas_interpret=True)
+    v = ref.init(jax.random.PRNGKey(0), raw, coarse, True)
+    assert tu.tree_structure(
+        slab.init(jax.random.PRNGKey(0), raw, coarse, True)
+    ) == tu.tree_structure(v)
+
+    e0 = ref.apply(v, raw, coarse, False)
+    e1 = slab.apply(v, raw, coarse, False)
+    np.testing.assert_allclose(
+        np.asarray(e1), np.asarray(e0), rtol=1e-4, atol=1e-5
+    )
+
+    def loss(mod):
+        def f(p, raw):
+            out, mut = mod.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                raw, coarse, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2), (out, mut)
+        return f
+
+    (l0, (out0, mut0)), g0 = jax.value_and_grad(
+        loss(ref), has_aux=True
+    )(v["params"], raw)
+    (l1, (out1, mut1)), g1 = jax.value_and_grad(
+        loss(slab), has_aux=True
+    )(v["params"], raw)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), rtol=1e-4, atol=1e-5
+    )
+    key_of = lambda kv: tu.keystr(kv[0])  # noqa: E731
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(mut0)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(mut1)[0], key=key_of),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=tu.keystr(pth),
+        )
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(g0)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(g1)[0], key=key_of),
+    ):
+        name = tu.keystr(pth)
+        if "Conv_0']['bias" in name:
+            # BN right after each conv makes the bias grad ~0 by
+            # cancellation; both paths are noise there
+            continue
+        scale = np.abs(np.asarray(a)).max() + 1e-6
+        diff = np.abs(np.asarray(b) - np.asarray(a)).max()
+        assert diff <= 5e-3 * scale, f"{name}: {diff} vs scale {scale}"
