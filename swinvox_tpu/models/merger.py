@@ -102,11 +102,7 @@ class Merger(nn.Module):
         elif self.use_slab and (
             self.pallas_interpret or jax.default_backend() == "tpu"
         ):
-            from swinvox_tpu.ops.pallas_slab_conv import (
-                pack_slab,
-                slab_band_conv,
-                unpack_slab,
-            )
+            from swinvox_tpu.ops.pallas_slab_conv import slab_conv3d
 
             def layer(i, y5d):
                 # y5d: [V, D, H, W, ci] -> conv -> BN -> leaky; the param
@@ -115,11 +111,9 @@ class Merger(nn.Module):
                 ci, co = _CHANNELS[i]
                 convs[i](jnp.zeros((1, 3, 3, 3, ci), self.dtype))
                 cp = convs[i].variables["params"]["Conv_0"]
-                z = slab_band_conv(
-                    pack_slab(y5d), cp["kernel"],
-                    interpret=self.pallas_interpret,
-                )
-                y = unpack_slab(z, co) + cp["bias"].astype(z.dtype)
+                y = slab_conv3d(
+                    y5d, cp["kernel"], interpret=self.pallas_interpret
+                ) + cp["bias"].astype(y5d.dtype)
                 y = norms[i](y, train)
                 return nn.leaky_relu(y, self.leaky_value)
 

@@ -605,11 +605,7 @@ def test_refiner_unrolled_conv_parity(rng):
 def test_slab_band_conv_parity(rng, ci, co):
     """ops/pallas_slab_conv.py (interpret): forward + input/kernel grads
     of each merger Conv3d shape vs the XLA conv (padding 1, NDHWC)."""
-    from swinvox_tpu.ops.pallas_slab_conv import (
-        pack_slab,
-        slab_band_conv,
-        unpack_slab,
-    )
+    from swinvox_tpu.ops.pallas_slab_conv import slab_conv3d
 
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 32, ci)), jnp.float32)
     k = jnp.asarray(
@@ -618,8 +614,7 @@ def test_slab_band_conv_parity(rng, ci, co):
     ct = jnp.asarray(rng.standard_normal((2, 32, 32, 32, co)), jnp.float32)
 
     def f_slab(x5, kk):
-        z = slab_band_conv(pack_slab(x5), kk, interpret=True)
-        return unpack_slab(z, co)
+        return slab_conv3d(x5, kk, interpret=True)
 
     def f_xla(x5, kk):
         dn = jax.lax.conv_dimension_numbers(

@@ -482,6 +482,7 @@ def test_pallas_kernels_under_sharded_mesh():
         cfg.NETWORK.USE_PALLAS_SWIN_BLOCK = pallas
         cfg.NETWORK.USE_PALLAS_SWIN_BLOCK_TRAIN = pallas
         cfg.NETWORK.USE_PALLAS_MERGER = pallas
+        cfg.NETWORK.USE_SLAB_MERGER = pallas
         cfg.PARALLEL.MODEL_PARALLEL = 2
         model = dataclasses.replace(
             SwinVoxModel.from_config(cfg),
