@@ -160,6 +160,12 @@ class NetworkConfig:
     # variant measurably LOST on bandwidth: 555 -> 534 img/s).  BN and
     # LeakyReLU stay in XLA: training batch stats + param tree unchanged
     USE_SLAB_MERGER: bool = False
+    # merger training path: the WHOLE six-layer conv/BN/LeakyReLU stack
+    # in ONE Pallas call forward and ONE backward
+    # (ops/pallas_merger_stack.py): slab-resident activations, in-kernel
+    # batch statistics, halo-fill as a permutation matmul.  Falls back
+    # to XLA when the volume count is not divisible by 16
+    USE_MERGER_STACK: bool = False
     # tap-unrolled custom backward for the refiner's 1-channel first conv
     # (ops/unrolled_conv.py — pure XLA reassociation; fwd unchanged).
     # Off: measured 153.7 -> 298.6 ms/step at batch 64 — the chunked

@@ -100,15 +100,48 @@ class Norm(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool, external_stats=None
+    ) -> jax.Array:
         x32 = x.astype(jnp.float32)
-        y = nn.BatchNorm(
-            use_running_average=not train,
+        if external_stats is None:
+            y = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="bn",
+            )(x32)
+            return y.astype(self.dtype)
+        # External-stats mode (the whole-stack merger kernel computes the
+        # batch statistics itself): materialize the identical variable
+        # tree via an eval-mode dummy trace (dead code XLA eliminates),
+        # apply flax's running-average update manually, and normalize
+        # with the PROVIDED batch stats.  Semantics match nn.BatchNorm
+        # train mode exactly (biased variance, momentum 0.9, eps 1e-5).
+        mean, var = external_stats
+        bn = nn.BatchNorm(
+            use_running_average=True,
             momentum=0.9,
             epsilon=1e-5,
             dtype=jnp.float32,
             name="bn",
-        )(x32)
+        )
+        bn(jnp.zeros((1,) * (x.ndim - 1) + (x.shape[-1],), jnp.float32))
+        v = bn.variables
+        scale = v["params"]["scale"].astype(jnp.float32)
+        bias = v["params"]["bias"].astype(jnp.float32)
+        if train and bn.is_mutable_collection("batch_stats"):
+            sg = jax.lax.stop_gradient
+            bn.put_variable(
+                "batch_stats", "mean",
+                0.9 * v["batch_stats"]["mean"] + 0.1 * sg(mean),
+            )
+            bn.put_variable(
+                "batch_stats", "var",
+                0.9 * v["batch_stats"]["var"] + 0.1 * sg(var),
+            )
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
         return y.astype(self.dtype)
 
 

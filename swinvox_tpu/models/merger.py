@@ -49,6 +49,11 @@ class Merger(nn.Module):
     # in XLA so training-mode batch stats and the param tree are
     # unchanged
     use_slab: bool = False
+    # training path: the WHOLE six-layer stack in one Pallas call each
+    # way (ops/pallas_merger_stack.py) — convs, train-mode BatchNorm and
+    # LeakyReLU slab-resident, one fwd + one bwd pallas_call; needs the
+    # volume count divisible by 16 (falls back to XLA otherwise)
+    use_stack: bool = False
     # run the fused kernel in the Pallas interpreter (CPU parity tests)
     pallas_interpret: bool = False
 
@@ -99,6 +104,47 @@ class Merger(nn.Module):
                 x, kernels, biases, bn_params, leaky=self.leaky_value,
                 interpret=self.pallas_interpret,
             ).reshape(b, n_views, 32, 32, 32)
+        elif (
+            self.use_stack and train and (b * n_views) % 16 == 0
+            and (self.pallas_interpret or jax.default_backend() == "tpu")
+        ):
+            from swinvox_tpu.ops.pallas_merger_stack import merger_stack
+
+            # materialize the identical conv/BN variable trees via the
+            # dummy-trace trick (see use_fused), then run the whole
+            # six-layer stack in one Pallas call each way
+            kernels, biases, gammas, betas = [], [], [], []
+            for i, (ci, co) in enumerate(_CHANNELS):
+                convs[i](jnp.zeros((1, 3, 3, 3, ci), self.dtype))
+                cp = convs[i].variables["params"]["Conv_0"]
+                kernels.append(cp["kernel"])
+                biases.append(cp["bias"])
+                norms[i](jnp.zeros((1, co), self.dtype), False)
+                bnv = norms[i].variables["params"]["bn"]
+                gammas.append(bnv["scale"])
+                betas.append(bnv["bias"])
+            raw5, means, vars_ = merger_stack(
+                x, kernels, biases, gammas[:5], betas[:5],
+                leaky=self.leaky_value,
+                interpret=self.pallas_interpret,
+            )
+            means = [jax.lax.stop_gradient(m) for m in means]
+            vars_ = [jax.lax.stop_gradient(v) for v in vars_]
+            # running-average updates (flax semantics via Norm's
+            # external-stats mode; layers 0..4 were normalized in-kernel)
+            for i in range(5):
+                norms[i](
+                    jnp.zeros((1, 9), self.dtype), True,
+                    external_stats=(means[i], vars_[i]),
+                )
+            # layer 5's BatchNorm in XLA from raw5's own batch stats, so
+            # plain autodiff covers its backward (incl. the stats terms)
+            r32 = raw5.astype(jnp.float32)
+            m5 = jnp.mean(r32, axis=(0, 1, 2, 3))
+            v5 = jnp.mean(r32 * r32, axis=(0, 1, 2, 3)) - m5 * m5
+            y5 = norms[5](raw5, True, external_stats=(m5, v5))
+            y5 = nn.leaky_relu(y5, self.leaky_value)
+            weights = y5[..., 0].reshape(b, n_views, 32, 32, 32)
         elif self.use_slab and (
             self.pallas_interpret or jax.default_backend() == "tpu"
         ):

@@ -55,6 +55,7 @@ class SwinVoxModel(nn.Module):
     use_pallas_merger_train: bool = False
     use_band2d_merger: bool = False
     use_slab_merger: bool = False
+    use_merger_stack: bool = False
     refiner_unrolled_conv: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
@@ -82,6 +83,7 @@ class SwinVoxModel(nn.Module):
             use_pallas_merger_train=net.USE_PALLAS_MERGER_TRAIN,
             use_band2d_merger=net.USE_BAND2D_MERGER,
             use_slab_merger=net.USE_SLAB_MERGER,
+            use_merger_stack=net.USE_MERGER_STACK,
             refiner_unrolled_conv=net.REFINER_UNROLLED_CONV,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
             use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
@@ -127,6 +129,7 @@ class SwinVoxModel(nn.Module):
                 use_pallas_train=self.use_pallas_merger_train,
                 use_band2d=self.use_band2d_merger,
                 use_slab=self.use_slab_merger,
+                use_stack=self.use_merger_stack,
                 pallas_interpret=self.pallas_interpret,
                 name="merger",
             )(raw_features, coarse, train)

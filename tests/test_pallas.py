@@ -709,3 +709,151 @@ def test_merger_slab_parity(rng):
         scale = np.abs(np.asarray(a)).max() + 1e-6
         diff = np.abs(np.asarray(b) - np.asarray(a)).max()
         assert diff <= 5e-3 * scale, f"{name}: {diff} vs scale {scale}"
+
+
+def _l2(a):
+    a = np.asarray(a, np.float64).ravel()
+    return float(np.sqrt((a * a).sum()))
+
+
+def test_merger_stack_op_parity(rng):
+    """ops/pallas_merger_stack.py (interpret): the whole six-layer stack
+    in one fwd + one bwd pallas_call vs the XLA reference chain.
+
+    Gradients are compared in L2: LeakyReLU branch flips at |bn| ~ 1e-5
+    (from f32 stats-rounding differences between the two pipelines)
+    perturb a handful of elements out of millions, which breaks max-norm
+    comparison but not a 1% L2 bound (measured: 62 flipped elements of
+    4.7M, all with |bn| < 1e-4)."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.ops.pallas_merger_stack import (
+        merger_stack,
+        merger_stack_reference,
+    )
+
+    n = 16
+    x = jnp.asarray(rng.standard_normal((n, 32, 32, 32, 9)), jnp.float32)
+    ks = tuple(
+        jnp.asarray(
+            rng.standard_normal((3, 3, 3, ci, co)) * (0.5 / np.sqrt(27 * ci)),
+            jnp.float32,
+        )
+        for ci, co in [(9, 9)] * 4 + [(36, 9), (9, 1)]
+    )
+    bs = tuple(
+        jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.float32)
+        for co in [9] * 5 + [1]
+    )
+    gs = tuple(
+        jnp.asarray(1 + 0.1 * rng.standard_normal((9,)), jnp.float32)
+        for _ in range(5)
+    )
+    bts = tuple(
+        jnp.asarray(0.1 * rng.standard_normal((9,)), jnp.float32)
+        for _ in range(5)
+    )
+    ct = jnp.asarray(rng.standard_normal((n, 32, 32, 32, 1)), jnp.float32)
+
+    f_k = lambda *a: merger_stack(*a, interpret=True)  # noqa: E731
+    f_r = merger_stack_reference
+    rk = jax.jit(f_k)(x, ks, bs, gs, bts)
+    rr = jax.jit(f_r)(x, ks, bs, gs, bts)
+    np.testing.assert_allclose(
+        np.asarray(rk[0]), np.asarray(rr[0]), rtol=1e-4, atol=1e-4
+    )
+    for l in range(6):
+        np.testing.assert_allclose(
+            np.asarray(rk[1][l]), np.asarray(rr[1][l]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(rk[2][l]), np.asarray(rr[2][l]), atol=1e-4
+        )
+
+    def loss(f):
+        def g(*a):
+            raw5, _, _ = f(*a)
+            return jnp.sum(raw5 * ct)
+
+        return g
+
+    gk = jax.jit(jax.grad(loss(f_k), argnums=(0, 1, 2, 3, 4)))(
+        x, ks, bs, gs, bts
+    )
+    gr = jax.jit(jax.grad(loss(f_r), argnums=(0, 1, 2, 3, 4)))(
+        x, ks, bs, gs, bts
+    )
+    names = ("dx", "dk", "db", "dgamma", "dbeta")
+    for name, a, b in zip(names, gk, gr):
+        for i, (la, lb) in enumerate(
+            zip(tu.tree_leaves(a), tu.tree_leaves(b))
+        ):
+            if name == "db" and i < 5:
+                # BN right after each conv makes the bias grad ~0 by
+                # cancellation; both paths are noise there
+                continue
+            ref = _l2(lb) + 1e-6
+            assert _l2(np.asarray(la) - np.asarray(lb)) <= 1e-2 * ref, (
+                f"{name}[{i}]"
+            )
+
+
+def test_merger_stack_module_parity(rng):
+    """Merger with use_stack (whole-stack megakernel, interpret) == the
+    XLA merger: outputs, BN running-stat updates, and gradients (L2,
+    see test_merger_stack_op_parity for why not max-norm)."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.models.merger import Merger
+
+    raw = jnp.asarray(
+        rng.standard_normal((8, 2, 32, 32, 32, 9)), jnp.float32
+    )
+    coarse = jnp.asarray(
+        rng.standard_normal((8, 2, 32, 32, 32)), jnp.float32
+    )
+    ref = Merger(dtype=jnp.float32)
+    stk = Merger(dtype=jnp.float32, use_stack=True, pallas_interpret=True)
+    v = ref.init(jax.random.PRNGKey(0), raw, coarse, True)
+    assert tu.tree_structure(
+        stk.init(jax.random.PRNGKey(0), raw, coarse, True)
+    ) == tu.tree_structure(v)
+
+    def loss(mod):
+        def f(p, raw):
+            out, mut = mod.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                raw, coarse, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2), (out, mut)
+
+        return f
+
+    (l0, (out0, mut0)), g0 = jax.value_and_grad(
+        loss(ref), has_aux=True
+    )(v["params"], raw)
+    (l1, (out1, mut1)), g1 = jax.value_and_grad(
+        loss(stk), has_aux=True
+    )(v["params"], raw)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), rtol=1e-3, atol=1e-4
+    )
+    key_of = lambda kv: tu.keystr(kv[0])  # noqa: E731
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(mut0)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(mut1)[0], key=key_of),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=tu.keystr(pth),
+        )
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(g0)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(g1)[0], key=key_of),
+    ):
+        name = tu.keystr(pth)
+        if "Conv_0']['bias" in name:
+            continue  # ~0 by BN cancellation on both paths
+        ref_n = _l2(b) + 1e-6
+        assert _l2(np.asarray(b) - np.asarray(a)) <= 1.5e-2 * ref_n, name
