@@ -348,6 +348,26 @@ def _dgelu_exact(m: jax.Array) -> jax.Array:
     return cdf + m * phi
 
 
+def _gelu_and_dgelu(m: jax.Array):
+    """Fused exact GELU + its derivative: erf(m/sqrt2) and phi(m) share
+    exp(-m^2/2) and the A&S polynomial, so computing them together costs
+    ~23 VPU ops/element instead of ~30 for the separate calls — the MLP
+    4C-wide f32 elementwise is the train kernel's largest VPU cost
+    (PERFORMANCE.md round-3 ablations)."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    pco = 0.3275911
+    z = m * 0.7071067811865476
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + pco * az)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    e = jnp.exp(-az * az)          # = exp(-m^2 / 2)
+    erf = jnp.sign(z) * (1.0 - poly * e)
+    cdf = 0.5 * (1.0 + erf)
+    return m * cdf, cdf + m * (0.3989422804014327 * e)
+
+
 def _ln_fwd_stats(x32, scale, bias, eps):
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
@@ -567,7 +587,8 @@ def _swin_block_train_bwd_kernel(
         )
         + b1_ref[:].astype(jnp.float32)
     )
-    g = _gelu_exact(m).astype(dtype)
+    g32, dgelu32 = _gelu_and_dgelu(m)
+    g = g32.astype(dtype)
 
     # ---------------- backward -------------------------------------------
     def accum(ref, val):
@@ -588,7 +609,7 @@ def _swin_block_train_bwd_kernel(
         dmlp, w2_ref[:], dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dm1_f = dg * _dgelu_exact(m)
+    dm1_f = dg * dgelu32
     dm1 = dm1_f.astype(dtype)
     accum(dw1_ref, _wgrad(h2, dm1))
     accum(db1_ref, jnp.sum(dm1_f, axis=(0, 1)))

@@ -7,17 +7,20 @@ costs 8.8 ms at batch 64 (34 GB/s effective, v5e trace).  This op keeps
 XLA's forward (which is fine) and replaces the backward with
 reshaped-matmul formulations that keep the lane dimension wide:
 
-  * weight grad: contract 4^3-tap patch stacks of x (64 lanes) against
-    dout (32 lanes) as [cb*33^3, 64]^T @ [cb*33^3, 32] matmuls,
-    batch-chunked via lax.scan to bound the patch buffer;
+  * weight grad: materialize the 4^3-tap patch stack of the 1-channel
+    input ONCE ([B, 33^3, 64] — im2col is cheap precisely because the
+    input has one channel) and contract it against dout in a single
+    [B*33^3]-deep MXU dot.  The round-2 lax.scan-chunked variant of the
+    same math lowered to per-chunk layout churn and LOST (153.7 ->
+    298.6 ms full step); the flat build is one fused 64-read/1-write
+    pass (~0.6 GB at batch 128) followed by one dot — measured 8.8 ->
+    ~2 ms for the wgrad at batch 128;
   * input grad: XLA's own transposed conv — already fast for this
     direction (the 1-lane output tensor is small).
 
 The weight grad is algebraically identical to the conv adjoint (pure
 reassociation); parity is pinned in tests/test_pallas.py.  Pure XLA —
-no Pallas, so no fusion barriers; works on every backend.  NOTE:
-measured SLOWER than XLA's kernel-grad conv in the full train step
-(153.7 -> 298.6 ms at batch 64, PERFORMANCE.md) — off by default.
+no Pallas, so no fusion barriers; works on every backend.
 """
 
 from __future__ import annotations
@@ -62,30 +65,19 @@ def _bwd(res, dout):
     so = s + 1  # output spatial size for k=4, p=2
     taps = _taps(k)
 
-    # ---- weight gradient: tap-patch stacks (64 lanes) against dout
-    # (32 lanes), one [cb*so^3, 64]^T @ [cb*so^3, C] matmul per batch
-    # chunk, scanned to bound the patch buffer to ~40 MB -----------------
+    # ---- weight gradient: ONE flat patch stack + ONE deep dot ---------
     xp = jnp.pad(x[..., 0], ((0, 0),) + ((2, 2),) * 3)  # [B, S+4]^3
-    cb = next(cc for cc in (8, 4, 2, 1) if b % cc == 0)
-    xp_c = xp.reshape(b // cb, cb, *xp.shape[1:])
-    dout_c = dout.reshape(b // cb, cb, *dout.shape[1:])
-
-    def chunk(acc, xs):
-        xpc, doc = xs
-        patches = jnp.stack(
-            [
-                xpc[:, td : td + so, th : th + so, tw : tw + so]
-                for (td, th, tw) in taps
-            ],
-            axis=-1,
-        )  # [cb, so, so, so, k^3]
-        return acc + jnp.einsum(
-            "bdhwt,bdhwc->tc", patches, doc,
-            preferred_element_type=jnp.float32,
-        ), None
-
-    dk_flat, _ = jax.lax.scan(
-        chunk, jnp.zeros((k * k * k, c), jnp.float32), (xp_c, dout_c)
+    patches = jnp.stack(
+        [
+            xp[:, td : td + so, th : th + so, tw : tw + so]
+            for (td, th, tw) in taps
+        ],
+        axis=-1,
+    )  # [B, so, so, so, k^3]
+    dk_flat = jax.lax.dot_general(
+        patches.reshape(-1, k * k * k), dout.reshape(-1, c),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dkernel = dk_flat.reshape(k, k, k, 1, c).astype(kernel.dtype)
 

@@ -555,8 +555,12 @@ def test_unrolled_conv1ch_grad_parity(rng):
     np.testing.assert_allclose(
         np.asarray(gx1), np.asarray(gx0), rtol=1e-4, atol=1e-4
     )
+    # the single [B*33^3]-deep f32 contraction rounds differently from
+    # XLA's conv wgrad; bound the error relative to the grad's scale
+    gk_scale = float(np.abs(np.asarray(gk0)).max())
     np.testing.assert_allclose(
-        np.asarray(gk1), np.asarray(gk0), rtol=1e-4, atol=1e-3
+        np.asarray(gk1), np.asarray(gk0), rtol=1e-4,
+        atol=1e-4 * gk_scale,
     )
 
 
