@@ -274,8 +274,69 @@ class BatchingServer:
 
 
 # ------------------------------------------------------------------ HTTP
-def _make_http_server(server: BatchingServer, port: int):
+
+class MultiServer:
+    """Routes requests across several named BatchingServers (one model /
+    checkpoint each) sharing one process and one device.
+
+    The reference serves a single model from its notebook; production
+    deployment wants N checkpoints (e.g. per-category fine-tunes or
+    A/B candidates) behind one endpoint.  Each model keeps its own
+    micro-batching queue and stats; the device naturally serializes the
+    dispatchers.  ``default`` names the model used when a request does
+    not specify one (first registered model otherwise).
+    """
+
+    def __init__(self, servers, default: Optional[str] = None):
+        if not servers:
+            raise ValueError("MultiServer needs at least one model")
+        self._servers = dict(servers)
+        self.default = default if default is not None else next(iter(servers))
+        if self.default not in self._servers:
+            raise KeyError(self.default)
+
+    def __getitem__(self, name: str) -> BatchingServer:
+        return self._servers[name]
+
+    @property
+    def models(self):
+        return tuple(self._servers)
+
+    def _pick(self, model: Optional[str]) -> BatchingServer:
+        name = model if model is not None else self.default
+        try:
+            return self._servers[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown model {name!r}; available: {sorted(self._servers)}"
+            ) from None
+
+    def submit(self, images: np.ndarray, model: Optional[str] = None):
+        return self._pick(model).submit(images)
+
+    def predict(
+        self, images: np.ndarray, model: Optional[str] = None
+    ) -> np.ndarray:
+        return self._pick(model).predict(images)
+
+    def stats(self) -> dict:
+        return {name: srv.stats() for name, srv in self._servers.items()}
+
+    def close(self) -> None:
+        for srv in self._servers.values():
+            srv.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _make_http_server(server, port: int):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    multi = isinstance(server, MultiServer)
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802
@@ -285,11 +346,24 @@ def _make_http_server(server: BatchingServer, port: int):
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
                 self.wfile.write(body)
+            elif self.path == "/models" and multi:
+                body = json.dumps(
+                    {"models": list(server.models),
+                     "default": server.default}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self.send_error(404)
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/predict":
+            # /predict (default model) or /predict/<model> (multi-model)
+            model = None
+            if self.path.startswith("/predict/"):
+                model = self.path[len("/predict/"):]
+            elif self.path != "/predict":
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -297,7 +371,16 @@ def _make_http_server(server: BatchingServer, port: int):
                 images = np.load(
                     io.BytesIO(self.rfile.read(length)), allow_pickle=False
                 )
-                vol = server.predict(images)
+                if multi:
+                    vol = server.predict(images, model=model)
+                elif model is None:
+                    vol = server.predict(images)
+                else:
+                    self.send_error(404, "single-model server")
+                    return
+            except KeyError as e:
+                self.send_error(404, str(e))
+                return
             except ServerOverloadedError as e:
                 self.send_error(503, str(e))  # shed load, client retries
                 return
@@ -322,7 +405,11 @@ def _make_http_server(server: BatchingServer, port: int):
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument(
+        "--checkpoint", required=True, action="append",
+        help="checkpoint path, or NAME=PATH (repeatable for multi-model "
+             "serving; the first one is the default model)",
+    )
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--n-views", type=int, default=None)
@@ -334,17 +421,32 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from swinvox_tpu.infer import Predictor
 
     logging.basicConfig(level=logging.INFO)
-    predictor = Predictor.from_checkpoint(args.checkpoint)
-    with BatchingServer(
-        predictor,
-        batch_size=args.batch_size,
-        n_views=args.n_views,
-        max_wait_ms=args.max_wait_ms,
-        max_queue=args.max_queue,
-        timeout_ms=args.timeout_ms,
-    ) as server:
+
+    def build(path):
+        return BatchingServer(
+            Predictor.from_checkpoint(path),
+            batch_size=args.batch_size,
+            n_views=args.n_views,
+            max_wait_ms=args.max_wait_ms,
+            max_queue=args.max_queue,
+            timeout_ms=args.timeout_ms,
+        )
+
+    specs = [
+        c.split("=", 1) if "=" in c else [None, c] for c in args.checkpoint
+    ]
+    if len(specs) == 1 and specs[0][0] is None:
+        server_cm = build(specs[0][1])
+    else:
+        servers = {}
+        for i, (name, path) in enumerate(specs):
+            servers[name if name is not None else f"model{i}"] = build(path)
+        server_cm = MultiServer(servers)
+    with server_cm as server:
         httpd = _make_http_server(server, args.port)
-        log.info("serving on :%d (POST /predict, GET /stats)", args.port)
+        log.info(
+            "serving on :%d (POST /predict[/model], GET /stats)", args.port
+        )
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:

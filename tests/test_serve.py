@@ -267,3 +267,74 @@ def test_shape_mismatch_rejected_in_client_thread(rng):
         # server still alive after the rejections
         out = server.submit(_req(rng, n_views=1, value=2.0)).result(timeout=10)
         np.testing.assert_allclose(out, 2.0, rtol=1e-6)
+
+
+def test_multi_server_routing(rng):
+    from swinvox_tpu.serve import MultiServer
+
+    pa, pb = FakePredictor(), FakePredictor()
+    with MultiServer(
+        {
+            "a": BatchingServer(pa, batch_size=4, n_views=2),
+            "b": BatchingServer(pb, batch_size=4, n_views=2),
+        }
+    ) as ms:
+        assert ms.models == ("a", "b")
+        assert ms.default == "a"
+        ms.predict(_req(rng))              # default -> a
+        ms.predict(_req(rng), model="b")   # explicit -> b
+        with pytest.raises(KeyError):
+            ms.predict(_req(rng), model="nope")
+        st = ms.stats()
+        assert st["a"]["requests"] == 1 and st["b"]["requests"] == 1
+    assert len(pa.batches) == 1 and len(pb.batches) == 1
+
+
+def test_multi_server_http(rng):
+    import json as _json
+
+    from swinvox_tpu.serve import MultiServer, _make_http_server
+
+    pa, pb = FakePredictor(), FakePredictor()
+    ms = MultiServer(
+        {
+            "base": BatchingServer(pa, batch_size=4, n_views=2),
+            "tuned": BatchingServer(pb, batch_size=4, n_views=2),
+        },
+        default="base",
+    )
+    httpd = _make_http_server(ms, 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/models"
+        ) as r:
+            meta = _json.loads(r.read())
+        assert meta == {"models": ["base", "tuned"], "default": "base"}
+
+        buf = io.BytesIO()
+        np.save(buf, _req(rng))
+        for path, pred in (("/predict", pa), ("/predict/tuned", pb)):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", data=buf.getvalue(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                vol = np.load(io.BytesIO(r.read()))
+            assert vol.shape == (4, 4, 4)
+        assert len(pa.batches) == 1 and len(pb.batches) == 1
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict/nope", data=buf.getvalue(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+        ms.close()
