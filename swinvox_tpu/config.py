@@ -164,8 +164,14 @@ class NetworkConfig:
     # in ONE Pallas call forward and ONE backward
     # (ops/pallas_merger_stack.py): slab-resident activations, in-kernel
     # batch statistics, halo-fill as a permutation matmul.  Falls back
-    # to XLA when the volume count is not divisible by 16
-    USE_MERGER_STACK: bool = False
+    # to XLA when the volume count is not divisible by 16.  The kernel
+    # scales linearly with volumes while XLA's merger cost is nearly
+    # flat in batch (PERFORMANCE.md), so it wins at per-chip volume
+    # counts <= MERGER_STACK_MAX_VOLUMES (measured: full step 154.3 ->
+    # 137.9 ms at 64 volumes; loses at 128) — the auto policy enables
+    # it exactly there, which is the multi-chip data-parallel regime
+    USE_MERGER_STACK: bool = True
+    MERGER_STACK_MAX_VOLUMES: int = 64
     # tap-unrolled custom backward for the refiner's 1-channel first conv
     # (ops/unrolled_conv.py — pure XLA reassociation; fwd unchanged).
     # Off: measured 153.7 -> 298.6 ms/step at batch 64 — the chunked

@@ -54,6 +54,9 @@ class Merger(nn.Module):
     # LeakyReLU slab-resident, one fwd + one bwd pallas_call; needs the
     # volume count divisible by 16 (falls back to XLA otherwise)
     use_stack: bool = False
+    # largest volume count at which use_stack engages (the kernel scales
+    # linearly with volumes; XLA's merger cost is ~flat in batch)
+    stack_max_volumes: int = 64
     # run the fused kernel in the Pallas interpreter (CPU parity tests)
     pallas_interpret: bool = False
 
@@ -106,6 +109,7 @@ class Merger(nn.Module):
             ).reshape(b, n_views, 32, 32, 32)
         elif (
             self.use_stack and train and (b * n_views) % 16 == 0
+            and (b * n_views) <= self.stack_max_volumes
             and (self.pallas_interpret or jax.default_backend() == "tpu")
         ):
             from swinvox_tpu.ops.pallas_merger_stack import merger_stack

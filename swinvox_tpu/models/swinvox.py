@@ -56,6 +56,7 @@ class SwinVoxModel(nn.Module):
     use_band2d_merger: bool = False
     use_slab_merger: bool = False
     use_merger_stack: bool = False
+    merger_stack_max_volumes: int = 64
     refiner_unrolled_conv: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
@@ -84,6 +85,7 @@ class SwinVoxModel(nn.Module):
             use_band2d_merger=net.USE_BAND2D_MERGER,
             use_slab_merger=net.USE_SLAB_MERGER,
             use_merger_stack=net.USE_MERGER_STACK,
+            merger_stack_max_volumes=net.MERGER_STACK_MAX_VOLUMES,
             refiner_unrolled_conv=net.REFINER_UNROLLED_CONV,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
             use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
@@ -130,6 +132,7 @@ class SwinVoxModel(nn.Module):
                 use_band2d=self.use_band2d_merger,
                 use_slab=self.use_slab_merger,
                 use_stack=self.use_merger_stack,
+                stack_max_volumes=self.merger_stack_max_volumes,
                 pallas_interpret=self.pallas_interpret,
                 name="merger",
             )(raw_features, coarse, train)

@@ -459,12 +459,14 @@ def test_gradient_accumulation_on_mesh(setup):
     assert close.mean() > 0.999, close.mean()
 
 
-def test_pallas_kernels_under_sharded_mesh():
+def _pallas_under_mesh(n_samples):
     """Pallas kernels + GSPMD composition (VERDICT r2 weak #2): run the
     fused swin-block TRAIN kernel (interpret mode) and the fused
     inference kernels inside a jitted step over the 8-device (4 data x 2
     model) mesh with a sharded batch, and pin the loss against the XLA
-    path under the SAME mesh."""
+    path under the SAME mesh.  At n_samples=16 the whole-stack merger
+    megakernel (USE_MERGER_STACK auto policy, volume count % 16 == 0)
+    also engages, covering the manual-DMA pallas_call under GSPMD."""
     import dataclasses
 
     from swinvox_tpu.parallel import (
@@ -492,8 +494,10 @@ def test_pallas_kernels_under_sharded_mesh():
         return cfg, model
 
     rng = np.random.default_rng(3)
-    images = rng.uniform(-1, 1, (4, 1, 224, 224, 3)).astype(np.float32)
-    vols = (rng.random((4, 32, 32, 32)) > 0.7).astype(np.float32)
+    images = rng.uniform(
+        -1, 1, (n_samples, 1, 224, 224, 3)
+    ).astype(np.float32)
+    vols = (rng.random((n_samples, 32, 32, 32)) > 0.7).astype(np.float32)
     sample = jnp.zeros((1, 1, 224, 224, 3), jnp.float32)
 
     losses = {}
@@ -546,3 +550,12 @@ def test_pallas_kernels_under_sharded_mesh():
     np.testing.assert_allclose(
         evals[True], evals[False], rtol=2e-3, atol=2e-3
     )
+
+
+def test_pallas_kernels_under_sharded_mesh():
+    _pallas_under_mesh(4)
+
+
+@pytest.mark.heavy
+def test_merger_megakernel_under_sharded_mesh():
+    _pallas_under_mesh(16)
