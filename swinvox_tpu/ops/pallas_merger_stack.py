@@ -362,9 +362,9 @@ def _fwd_call(xp, wbands, p9, e9, e1, e9t, e1t, rowm, pp,
     return pl.pallas_call(
         kernel,
         grid=(6, ng),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [const(a) for a in (wbands, p9, e9, e1, e9t, e1t, rowm, pp)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
         + [vm((6, 8, CPAD), lambda l, g: (0, 0, 0))],
         out_shape=[slab] * 6
         + [jax.ShapeDtypeStruct((6, 8, CPAD), jnp.float32)],
@@ -615,10 +615,10 @@ def _bwd_call(xp, rs, dz5, wbands, wabands, p9, p1, e9, e1, e9t, e1t,
     return pl.pallas_call(
         kernel,
         grid=(6, ng),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7
         + [const(a) for a in (wbands, wabands, p9, p1, e9, e1, e9t,
                               e1t, rowm, pp, sums)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
         + [vm((N_UNITS, N_BLOCKS, KCAT, 128), lambda l, g: (0, 0, 0, 0)),
            vm((6, 8, CPAD), lambda l, g: (0, 0, 0))],
         out_shape=[slab] * 6
