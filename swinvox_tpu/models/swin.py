@@ -202,8 +202,23 @@ class SwinBlock(nn.Module):
     pallas_interpret: bool = False  # CPU parity tests of the fused block
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
-        b, h, w, c = x.shape
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool,
+        win_shape: Optional[Tuple[int, int, int]] = None,
+        win_layout: str = "aligned",
+    ) -> jax.Array:
+        if win_shape is not None:
+            # window-major chaining (SwinTiny drives it): x is [B*nW, T, C]
+            # tokens in `win_layout` ("aligned" or "shifted"); the block
+            # converts with ONE rewindow pass instead of the
+            # unpartition -> roll -> partition HBM round trips, and returns
+            # tokens in its own layout.  Fused-kernel paths only.
+            b, h, w = win_shape
+            c = x.shape[-1]
+        else:
+            b, h, w, c = x.shape
         shortcut = x
 
         # canonical swin (and timm) zero the shift when the feature map is
@@ -218,6 +233,11 @@ class SwinBlock(nn.Module):
             (self.use_pallas_block and deterministic)
             or (self.use_pallas_block_train and not deterministic)
         ) and (self.pallas_interpret or jax.default_backend() == "tpu")
+        if win_shape is not None and not use_fused_block:
+            raise ValueError(
+                "window-major SwinBlock input requires an active fused-block "
+                "path (use_pallas_block[_train] on TPU or pallas_interpret)"
+            )
 
         norm1 = LayerNorm(dtype=self.dtype, name="norm1")
         # The fused Pallas kernels win at inference but their backward is
@@ -265,10 +285,26 @@ class SwinBlock(nn.Module):
                 .transpose(2, 0, 1)
             )
 
-            y = x
-            if shift > 0:
-                y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
-            y = window_partition(y, self.window)
+            if win_shape is not None:
+                y = x
+                want = "shifted" if shift > 0 else "aligned"
+                if win_layout != want:
+                    from swinvox_tpu.ops.rewindow import rewindow
+
+                    y = rewindow(
+                        y,
+                        h // self.window,
+                        w // self.window,
+                        self.window,
+                        self.window // 2,
+                        -1 if want == "shifted" else 1,
+                        interpret=self.pallas_interpret,
+                    )
+            else:
+                y = x
+                if shift > 0:
+                    y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+                y = window_partition(y, self.window)
             if deterministic:
                 y = fused_swin_block(
                     y,
@@ -282,6 +318,7 @@ class SwinBlock(nn.Module):
                     f2["kernel"].astype(self.dtype), f2["bias"],
                     num_heads=self.num_heads,
                     interpret=self.pallas_interpret,
+                    logical_tokens=tokens if win_shape is not None else None,
                 )
             else:
                 # per-image stochastic-depth factors drawn through the
@@ -309,7 +346,10 @@ class SwinBlock(nn.Module):
                     f2["kernel"].astype(self.dtype), f2["bias"],
                     num_heads=self.num_heads,
                     interpret=self.pallas_interpret,
+                    logical_tokens=tokens if win_shape is not None else None,
                 )
+            if win_shape is not None:
+                return y  # window-major (padded), in this block's layout
             y = window_unpartition(y, self.window, h, w)
             if shift > 0:
                 y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
@@ -401,6 +441,16 @@ class SwinTiny(nn.Module):
         total_blocks = sum(self.depths)
         dp_rates = np.linspace(0.0, self.drop_path_rate, total_blocks)
 
+        # Window-major stage chaining: when every block in a stage runs a
+        # fused kernel, partition ONCE per stage and hand window-major
+        # tokens from block to block — each layout change is one rewindow
+        # pass (ops/rewindow.py) instead of the unpartition -> roll ->
+        # partition HBM round trips (~27% of swin step time in the trace).
+        chain = (
+            (self.use_pallas_block and not train)
+            or (self.use_pallas_block_train and train)
+        ) and (self.pallas_interpret or jax.default_backend() == "tpu")
+
         features: List[jax.Array] = []
         block_idx = 0
         dim = self.embed_dim
@@ -411,12 +461,24 @@ class SwinTiny(nn.Module):
                 x = PatchMerging(dim=dim, dtype=self.dtype,
                                  name=f"merge{stage_idx}")(x)
                 dim = dim * 2
+            bb, hh, ww, _ = x.shape
+            small = hh <= self.window and ww <= self.window
+            if chain:
+                # pad tokens to the kernels' sublane multiple ONCE per
+                # stage; blocks and rewindow keep the padding resident
+                # (pad rows stay finite and are re-zeroed by rewindow)
+                tokens = self.window * self.window
+                t_pad = -(-tokens // 32) * 32
+                xw = window_partition(x, self.window)
+                xw = jnp.pad(xw, ((0, 0), (0, t_pad - tokens), (0, 0)))
+                layout = "aligned"
             for d in range(depth):
-                x = SwinBlock(
+                shift = 0 if d % 2 == 0 else self.window // 2
+                blk = SwinBlock(
                     dim=dim,
                     num_heads=heads,
                     window=self.window,
-                    shift=0 if d % 2 == 0 else self.window // 2,
+                    shift=shift,
                     drop_path_rate=float(dp_rates[block_idx]),
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
@@ -424,7 +486,23 @@ class SwinTiny(nn.Module):
                     use_pallas_block_train=self.use_pallas_block_train,
                     pallas_interpret=self.pallas_interpret,
                     name=f"stage{stage_idx}_block{d}",
-                )(x, deterministic=not train)
+                )
+                if chain:
+                    xw = blk(
+                        xw,
+                        deterministic=not train,
+                        win_shape=(bb, hh, ww),
+                        win_layout=layout,
+                    )
+                    eff_shift = 0 if small else shift
+                    layout = "shifted" if eff_shift > 0 else "aligned"
+                else:
+                    x = blk(x, deterministic=not train)
                 block_idx += 1
+            if chain:
+                x = window_unpartition(xw[:, :tokens], self.window, hh, ww)
+                if layout == "shifted":
+                    s = self.window // 2
+                    x = jnp.roll(x, shift=(s, s), axis=(1, 2))
             features.append(x)
         return features

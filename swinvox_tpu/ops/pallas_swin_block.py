@@ -289,21 +289,32 @@ def fused_swin_block(
     scale: Optional[float] = None,
     eps: float = 1e-5,
     interpret: bool = False,
+    logical_tokens: Optional[int] = None,
 ) -> jax.Array:
     """Whole Swin block on window-major tokens: x [nW, T, C] -> [nW, T, C].
 
     The token axis is padded to a multiple of 32 (Mosaic sublane collapse
     in the rank-3 matmuls); padded KEY columns get a -1e9 bias so softmax
-    ignores them, padded query rows are sliced off.  Inference only — use
-    under `deterministic` (DropPath = identity); no VJP.
+    ignores them, padded query rows are sliced off.  With
+    ``logical_tokens`` the caller hands tokens ALREADY padded (the
+    window-major stage chain keeps the padding resident across blocks to
+    skip the per-block pad/slice HBM passes) and gets the padded output
+    back — pad rows stay finite (LN of whatever rewindow zeroed there)
+    and the next rewindow re-zeroes them.  Inference only — use under
+    `deterministic` (DropPath = identity); no VJP.
     """
     if scale is None:
         scale = (x.shape[-1] // num_heads) ** -0.5
-    nw, t, c = x.shape
+    nw, t_in, c = x.shape
+    t = logical_tokens if logical_tokens is not None else t_in
     t_pad = -(-t // 32) * 32
+    prepadded = t_in != t
+    if prepadded:
+        assert t_in == t_pad, (t_in, t_pad)
     if t_pad != t:
         pad = t_pad - t
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        if not prepadded:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         rel_bias = jnp.pad(
             rel_bias.astype(jnp.float32),
             ((0, 0), (0, pad), (0, pad)),
@@ -319,7 +330,7 @@ def fused_swin_block(
         ln2_scale, ln2_bias, w1, b1, w2, b2,
         num_heads, float(scale), float(eps), interpret,
     )
-    return out[:, :t] if t_pad != t else out
+    return out[:, :t] if (t_pad != t and not prepadded) else out
 
 
 # ======================================================================
@@ -887,22 +898,31 @@ def fused_swin_block_train(
     scale: Optional[float] = None,
     eps: float = 1e-5,
     interpret: bool = False,
+    logical_tokens: Optional[int] = None,
 ) -> jax.Array:
     """Differentiable fused Swin block on window-major tokens.
 
-    Same contract as fused_swin_block plus per-window stochastic-depth
-    factors; gradients flow to x and every parameter via the in-kernel
-    backward (flash-style recompute, residuals = inputs only).
+    Same contract as fused_swin_block (incl. pre-padded ``logical_tokens``
+    I/O for the stage chain) plus per-window stochastic-depth factors;
+    gradients flow to x and every parameter via the in-kernel backward
+    (flash-style recompute, residuals = inputs only).  Pre-padded mode is
+    gradient-exact: pad query rows receive zero cotangent from the next
+    rewindow/slice, so they contribute nothing to any weight gradient.
     """
     if scale is None:
         scale = (x.shape[-1] // num_heads) ** -0.5
-    nw, t, c = x.shape
+    nw, t_in, c = x.shape
+    t = logical_tokens if logical_tokens is not None else t_in
     t_pad = -(-t // 32) * 32
+    prepadded = t_in != t
+    if prepadded:
+        assert t_in == t_pad, (t_in, t_pad)
     masked = mask is not None
     rel_bias = rel_bias.astype(jnp.float32)
     if t_pad != t:
         pad = t_pad - t
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        if not prepadded:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         rel_bias = jnp.pad(rel_bias, ((0, 0), (0, pad), (0, pad)))
         rel_bias = rel_bias.at[:, :, t:].add(-1e9)
         if masked:
@@ -920,4 +940,4 @@ def fused_swin_block_train(
         ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj, rel_bias,
         mask.astype(jnp.float32), ln2_scale, ln2_bias, w1, b1, w2, b2,
     )
-    return out[:, :t] if t_pad != t else out
+    return out[:, :t] if (t_pad != t and not prepadded) else out

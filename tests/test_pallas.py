@@ -861,3 +861,119 @@ def test_merger_stack_module_parity(rng):
             continue  # ~0 by BN cancellation on both paths
         ref_n = _l2(b) + 1e-6
         assert _l2(np.asarray(b) - np.asarray(a)) <= 1.5e-2 * ref_n, name
+
+
+# ------------------------------------------------------ rewindow
+
+
+@pytest.mark.parametrize("h,w,c", [(56, 56, 96), (14, 14, 40)])
+def test_rewindow_parity(rng, h, w, c):
+    """ops/rewindow.py (interpret): the one-pass window relayout equals
+    window_partition(roll(window_unpartition(x))) in both directions, its
+    VJP is the inverse permutation, and it is bit-exact (a permutation)."""
+    from swinvox_tpu.models.swin import window_partition, window_unpartition
+    from swinvox_tpu.ops.rewindow import rewindow
+
+    win, s = 7, 3
+    nwh, nww = h // win, w // win
+    x = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+    xw = window_partition(x, win)
+
+    shifted = rewindow(xw, nwh, nww, win, s, -1, interpret=True)
+    ref = window_partition(jnp.roll(x, (-s, -s), (1, 2)), win)
+    np.testing.assert_array_equal(np.asarray(shifted), np.asarray(ref))
+
+    back = rewindow(shifted, nwh, nww, win, s, +1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(xw))
+
+    # adjoint of the permutation == its inverse: d/dx sum(P x * y) = P^T y
+    g = jax.grad(
+        lambda z: jnp.sum(
+            rewindow(z, nwh, nww, win, s, -1, interpret=True) * shifted
+        )
+    )(xw)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(xw))
+
+    # bf16 stays exact (pure selection matmul)
+    xb = xw.astype(jnp.bfloat16)
+    sb = rewindow(xb, nwh, nww, win, s, -1, interpret=True)
+    assert bool(jnp.all(sb == ref.astype(jnp.bfloat16)))
+
+
+def test_swin_chained_stage_parity(rng):
+    """Window-major stage chaining (fused blocks + rewindow between them,
+    interpret) == the XLA SwinTiny: stage outputs at inference and every
+    parameter gradient in training (same DropPath draws)."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.models.swin import SwinTiny
+
+    x = jnp.asarray(rng.standard_normal((2, 56, 56, 3)).astype(np.float32))
+
+    def make(**kw):
+        return SwinTiny(
+            embed_dim=16, depths=(2, 2), num_heads=(2, 2), img_size=56,
+            dtype=jnp.float32, drop_path_rate=0.1, **kw
+        )
+
+    ref = make()
+    fus = make(
+        use_pallas_block=True, use_pallas_block_train=True,
+        pallas_interpret=True,
+    )
+    rngs = {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    v = ref.init(rngs, x, True)
+    assert tu.tree_structure(fus.init(rngs, x, True)["params"]) == \
+        tu.tree_structure(v["params"])
+
+    for a, b in zip(ref.apply(v, x, False), fus.apply(v, x, False)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4
+        )
+
+    def loss(mod):
+        def f(p, xx):
+            outs = mod.apply(
+                {"params": p}, xx, True,
+                rngs={"dropout": jax.random.PRNGKey(3)},
+            )
+            return sum(jnp.sum(o ** 2) for o in outs)
+        return f
+
+    l_r, g_r = jax.value_and_grad(loss(ref))(v["params"], x)
+    l_f, g_f = jax.value_and_grad(loss(fus))(v["params"], x)
+    np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-4)
+    key_of = lambda kv: tu.keystr(kv[0])  # noqa: E731
+    for (pth, a), (_, b) in zip(
+        sorted(tu.tree_flatten_with_path(g_r)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(g_f)[0], key=key_of),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=3e-3, atol=3e-3,
+            err_msg=tu.keystr(pth),
+        )
+
+
+def test_rewindow_under_mesh(rng):
+    """rewindow composes with GSPMD: batch-sharded window-major tokens
+    through the pallas_call match the unsharded result bit-for-bit."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from swinvox_tpu.models.swin import window_partition
+    from swinvox_tpu.ops.rewindow import rewindow
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    b, h, w, c, win, s = 8, 56, 56, 96, 7, 3
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    xw = window_partition(x, win)
+    ref = np.asarray(rewindow(xw, 8, 8, win, s, -1, interpret=True))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    xs = jax.device_put(xw, NamedSharding(mesh, P("data")))
+    with mesh:
+        got = jax.jit(
+            lambda z: rewindow(z, 8, 8, win, s, -1, interpret=True)
+        )(xs)
+    np.testing.assert_array_equal(np.asarray(got), ref)
