@@ -33,10 +33,17 @@ from swinvox_tpu.config import Config
 
 def resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Half-pixel-aligned bilinear resize (cv2.resize INTER_LINEAR semantics)
-    for HWC float arrays, vectorized with numpy gather."""
+    for HWC float arrays: native C when available (GIL released — the
+    single largest host-pipeline cost, tools/data_bench.py), else a
+    vectorized numpy gather."""
     in_h, in_w = img.shape[:2]
     if (in_h, in_w) == (out_h, out_w):
         return img.astype(np.float32, copy=False)
+    from swinvox_tpu.native.runtime import resize_bilinear_native
+
+    native = resize_bilinear_native(img, out_h, out_w)
+    if native is not None:
+        return native
     ys = (np.arange(out_h, dtype=np.float32) + 0.5) * (in_h / out_h) - 0.5
     xs = (np.arange(out_w, dtype=np.float32) + 0.5) * (in_w / out_w) - 0.5
     ys = np.clip(ys, 0.0, in_h - 1.0)

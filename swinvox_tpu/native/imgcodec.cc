@@ -147,3 +147,58 @@ long imgcodec_decode(const unsigned char* buf, long n, float** out_data,
     return decode_jpeg(buf, n, out_data, out_dims);
   return -6;  // unknown format -> caller falls back to PIL
 }
+
+// Half-pixel-aligned bilinear resize (cv2 INTER_LINEAR semantics, matching
+// transforms.resize_bilinear_np): src [h, w, c] float32 -> dst [oh, ow, c].
+// Runs with the GIL released (ctypes), so loader threads scale on cores.
+extern "C" void imgcodec_resize_bilinear(const float* src, long h, long w,
+                                         long c, float* dst, long oh,
+                                         long ow) {
+  const float sy = (float)h / (float)oh;
+  const float sx = (float)w / (float)ow;
+  // precompute x-axis taps once per row sweep
+  long* x0s = (long*)malloc(sizeof(long) * ow);
+  long* x1s = (long*)malloc(sizeof(long) * ow);
+  float* wxs = (float*)malloc(sizeof(float) * ow);
+  if (!x0s || !x1s || !wxs) {
+    free(x0s);
+    free(x1s);
+    free(wxs);
+    return;
+  }
+  for (long ox = 0; ox < ow; ox++) {
+    float xs = ((float)ox + 0.5f) * sx - 0.5f;
+    if (xs < 0.0f) xs = 0.0f;
+    if (xs > (float)(w - 1)) xs = (float)(w - 1);
+    long x0 = (long)xs;
+    x0s[ox] = x0;
+    x1s[ox] = x0 + 1 < w ? x0 + 1 : w - 1;
+    wxs[ox] = xs - (float)x0;
+  }
+  for (long oy = 0; oy < oh; oy++) {
+    float ys = ((float)oy + 0.5f) * sy - 0.5f;
+    if (ys < 0.0f) ys = 0.0f;
+    if (ys > (float)(h - 1)) ys = (float)(h - 1);
+    const long y0 = (long)ys;
+    const long y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    const float wy = ys - (float)y0;
+    const float* r0 = src + (size_t)y0 * w * c;
+    const float* r1 = src + (size_t)y1 * w * c;
+    float* out = dst + (size_t)oy * ow * c;
+    for (long ox = 0; ox < ow; ox++) {
+      const float* p00 = r0 + (size_t)x0s[ox] * c;
+      const float* p01 = r0 + (size_t)x1s[ox] * c;
+      const float* p10 = r1 + (size_t)x0s[ox] * c;
+      const float* p11 = r1 + (size_t)x1s[ox] * c;
+      const float wx = wxs[ox];
+      for (long ch = 0; ch < c; ch++) {
+        const float top = p00[ch] * (1.0f - wx) + p01[ch] * wx;
+        const float bot = p10[ch] * (1.0f - wx) + p11[ch] * wx;
+        out[ox * c + ch] = top * (1.0f - wy) + bot * wy;
+      }
+    }
+  }
+  free(x0s);
+  free(x1s);
+  free(wxs);
+}

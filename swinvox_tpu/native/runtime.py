@@ -115,6 +115,11 @@ def get_img_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.imgcodec_free.restype = None
     lib.imgcodec_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.imgcodec_resize_bilinear.restype = None
+    lib.imgcodec_resize_bilinear.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+    ]
     _img_lib = lib
     return _img_lib
 
@@ -141,3 +146,21 @@ def decode_image_native(data: bytes):
     finally:
         lib.imgcodec_free(out)
     return arr
+
+
+def resize_bilinear_native(img, out_h: int, out_w: int):
+    """float32 [H, W, C] -> [out_h, out_w, C] half-pixel bilinear resize
+    in C (GIL released), or None when the native lib is unavailable.
+    Same semantics as transforms.resize_bilinear_np."""
+    import numpy as np
+
+    lib = get_img_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(img, dtype=np.float32)
+    h, w, c = src.shape
+    dst = np.empty((out_h, out_w, c), np.float32)
+    lib.imgcodec_resize_bilinear(
+        src.ctypes.data, h, w, c, dst.ctypes.data, out_h, out_w
+    )
+    return dst

@@ -130,3 +130,31 @@ def test_load_image_bgr_uses_native_and_fallback(rng, tmp_path):
     # C multiplies by 1/255.f, numpy divides by 255.0 — 1 ulp apart
     np.testing.assert_allclose(native, fallback, atol=1e-6)
     assert native.shape == (24, 31, 4)
+
+
+def test_native_resize_matches_numpy(rng):
+    """imgcodec_resize_bilinear == the numpy half-pixel bilinear resize
+    (f32 rounding-order tolerance only)."""
+    import swinvox_tpu.native.runtime as rt
+    from swinvox_tpu.data import transforms as tr
+
+    for shape, (oh, ow) in [
+        ((137, 137, 4), (224, 224)),
+        ((128, 128, 3), (224, 224)),
+        ((224, 224, 3), (112, 160)),
+        ((7, 9, 3), (30, 14)),
+    ]:
+        img = rng.random(shape).astype(np.float32)
+        native = rt.resize_bilinear_native(img, oh, ow)
+        if native is None:
+            import pytest
+
+            pytest.skip("native imgcodec unavailable")
+        orig = rt.resize_bilinear_native
+        rt.resize_bilinear_native = lambda *a: None
+        try:
+            ref = tr.resize_bilinear_np(img, oh, ow)
+        finally:
+            rt.resize_bilinear_native = orig
+        assert native.shape == ref.shape
+        np.testing.assert_allclose(native, ref, atol=1e-4)
