@@ -251,6 +251,13 @@ class TrainConfig:
     # split each batch into this many sequential micro-batches, averaging
     # gradients before the optimizer update — lets BATCH_SIZE exceed HBM
     GRAD_ACCUM_STEPS: int = 1
+    # run the train augmentations ON-DEVICE (data/device_augment.py): the
+    # host ships raw decoded renders + per-sample parameters; crop/resize
+    # ride the MXU and the color pipeline folds into one affine map.
+    # Same distributions as the host path (parity in tests/test_data.py).
+    # ShapeNet-style fixed-size alpha renders only (no bbox crops, no
+    # RANDOM_BG_PATH images)
+    DEVICE_AUGMENT: bool = False
 
 
 @dataclass

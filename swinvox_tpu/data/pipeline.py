@@ -95,8 +95,13 @@ def _put_unless_stopped(q: "queue.Queue", item, stop: threading.Event) -> bool:
 class Batch:
     taxonomy_ids: List[str]
     sample_names: List[str]
-    images: np.ndarray  # [B, N, H, W, 3] float32, normalized
+    images: np.ndarray  # [B, N, H, W, 3] float32, normalized — or, in
+    # device-augment mode, RAW decoded [B, N, H, W, 3|4] in [0, 1]
     volumes: np.ndarray  # [B, D, H, W] float32 {0,1}
+    # device-augment mode only: per-sample augmentation parameters
+    # (bg_color [B,3], color_A/B [B,3,3], color_v [B,3], flips [B,N]) to
+    # feed data/device_augment.device_train_augment on the accelerator
+    aug: Optional[dict] = None
 
 
 class VoxelDataset:
@@ -110,6 +115,7 @@ class VoxelDataset:
         cfg: Config,
         train_augment: bool,
         seed: int = 0,
+        device_augment: bool = False,
     ):
         self.records = list(records)
         self.split = split
@@ -117,6 +123,9 @@ class VoxelDataset:
         self.cfg = cfg
         self.train_augment = train_augment
         self.seed = seed
+        # decode-only host path: pixels ship raw, augmentation runs on the
+        # accelerator (data/device_augment.py).  Train-augment splits only.
+        self.device_augment = device_augment and train_augment
         # optional random background images (reference DIR.RANDOM_BG_PATH,
         # utils/data_transforms.py:419-421)
         self.bg_files: List[str] = []
@@ -167,6 +176,44 @@ class VoxelDataset:
         else:
             images = eval_transform(images, self.cfg, rng, rec.bounding_box)
         return rec.taxonomy_id, rec.sample_name, images, volume
+
+    def load_raw(
+        self, idx: int, epoch: int = 0
+    ) -> Tuple[str, str, np.ndarray, np.ndarray, dict]:
+        """Device-augment mode: decode only; draw the augmentation
+        parameters with the SAME rng stream load() would use, so the
+        on-device pipeline reproduces the host augmentation exactly
+        (transforms.draw_train_params / data/device_augment.py).
+
+        Requires same-size renders (ShapeNet's 137x137) and no
+        RANDOM_BG_PATH (SUN background images stay a host-path feature);
+        bbox crops (Pascal3D/Pix3D) are eval-only and unaffected.
+        """
+        from swinvox_tpu.data.transforms import draw_train_params
+
+        rec = self.records[idx]
+        if rec.bounding_box is not None:
+            raise ValueError(
+                "device_augment does not support bbox-cropped sources"
+            )
+        if self.bg_files:
+            raise ValueError(
+                "device_augment does not support RANDOM_BG_PATH images"
+            )
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx])
+        )
+        chosen = rng.choice(
+            len(rec.image_paths), size=self.n_views, replace=False
+        )
+        images = np.stack(
+            [load_image_bgr(rec.image_paths[i]) for i in chosen]
+        )
+        volume = load_volume(rec.volume_path)
+        params = draw_train_params(
+            self.cfg, rng, self.n_views, has_alpha=images.shape[-1] == 4
+        )
+        return rec.taxonomy_id, rec.sample_name, images, volume, params
 
 
 class BatchLoader:
@@ -244,6 +291,21 @@ class BatchLoader:
         stop = threading.Event()
 
         def assemble(idxs: np.ndarray) -> Batch:
+            if getattr(self.dataset, "device_augment", False):
+                samples = [
+                    self.dataset.load_raw(int(i), self.epoch) for i in idxs
+                ]
+                tax, names, images, volumes, params = zip(*samples)
+                aug = {
+                    k: np.stack([p[k] for p in params]) for k in params[0]
+                }
+                return Batch(
+                    taxonomy_ids=list(tax),
+                    sample_names=list(names),
+                    images=np.stack(images),
+                    volumes=np.stack(volumes),
+                    aug=aug,
+                )
             samples = [self.dataset.load(int(i), self.epoch) for i in idxs]
             tax, names, images, volumes = zip(*samples)
             return Batch(
@@ -331,6 +393,7 @@ def build_loader(
         cfg,
         train_augment=train,
         seed=seed,
+        device_augment=train and cfg.TRAIN.DEVICE_AUGMENT,
     )
     import jax
 

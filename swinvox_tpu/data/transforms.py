@@ -336,3 +336,111 @@ def eval_transform(
         )
     x = normalize(x, cfg.DATASET.MEAN, cfg.DATASET.STD)
     return np.ascontiguousarray(x, np.float32)
+
+
+# ---------------------------------------------- device-augment parameters
+
+_GRAY_W = np.array([0.114, 0.587, 0.299], np.float32)  # BGR luma weights
+
+
+def draw_train_params(
+    cfg: Config, rng: np.random.Generator, n_views: int, has_alpha: bool
+) -> dict:
+    """Draw every random parameter of the train pipeline, in the exact
+    rng-call order train_transform uses, WITHOUT touching pixels.
+
+    Host decode stays cheap; the pixel work runs on-device
+    (data/device_augment.py). Draw order must mirror train_transform:
+    background color ints (4-channel input only), jitter uniforms +
+    order shuffle, noise normals, per-view flip ints, channel
+    permutation — so a given (seed, epoch, idx) stream produces the SAME
+    augmentation as the host path (parity pinned in tests/test_data.py).
+    """
+    params: dict = {}
+    if has_alpha:
+        params["bg_color"] = (
+            np.array(
+                [
+                    rng.integers(lo, hi + 1)
+                    for lo, hi in cfg.TRAIN.RANDOM_BG_COLOR_RANGE
+                ],
+                np.float32,
+            )
+            / 255.0
+        )
+    else:
+        params["bg_color"] = np.zeros((3,), np.float32)
+    jitter_vals = np.array(
+        [
+            1.0 + rng.uniform(-cfg.TRAIN.BRIGHTNESS, cfg.TRAIN.BRIGHTNESS),
+            1.0 + rng.uniform(-cfg.TRAIN.CONTRAST, cfg.TRAIN.CONTRAST),
+            1.0 + rng.uniform(-cfg.TRAIN.SATURATION, cfg.TRAIN.SATURATION),
+        ],
+        np.float32,
+    )
+    order = np.arange(3)
+    rng.shuffle(order)
+    alpha = rng.normal(0.0, cfg.TRAIN.NOISE_STD, size=3).astype(np.float32)
+    noise_rgb = np.sum(
+        _NOISE_EIGVECS * alpha[None, :] * _NOISE_EIGVALS[None, :], axis=1
+    )
+    flips = np.array(
+        [rng.integers(0, 2) for _ in range(n_views)], np.int32
+    )
+    perm = rng.permutation(3)
+    A, B, v = fold_color_affine(
+        jitter_vals, order, noise_rgb[::-1].copy(),
+        np.asarray(cfg.DATASET.MEAN, np.float32),
+        np.asarray(cfg.DATASET.STD, np.float32),
+        perm,
+    )
+    params.update({"color_A": A, "color_B": B, "color_v": v, "flips": flips})
+    return params
+
+
+def fold_color_affine(
+    jitter_vals: np.ndarray,
+    order: np.ndarray,
+    noise_bgr: np.ndarray,
+    mean: np.ndarray,
+    std: np.ndarray,
+    perm: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compose jitter (in `order`) + noise + normalize + channel permute
+    into ONE per-sample affine color map:
+
+        y = A x + B x_bar + v
+
+    with x the post-background pixel (BGR 3-vector) and x_bar the
+    per-view pixel mean of x.  Every stage is linear in (x, x_bar):
+    brightness scales all terms; saturation applies M = aI + (1-a)1w^T to
+    all terms; contrast blends toward the CURRENT stage's mean gray
+    w^T(A x_bar + B x_bar + v) which stays a linear functional of x_bar;
+    noise/normalize are affine; the channel permutation row-permutes.
+    jitter_vals = (brightness, contrast, saturation) factors.
+    """
+    w = _GRAY_W
+    ones = np.ones(3, np.float32)
+    A = np.eye(3, dtype=np.float32)
+    B = np.zeros((3, 3), np.float32)
+    v = np.zeros(3, np.float32)
+    names = ["brightness", "contrast", "saturation"]
+    for idx in order:
+        a = float(jitter_vals[idx])
+        name = names[idx]
+        if name == "brightness":
+            A, B, v = a * A, a * B, a * v
+        elif name == "saturation":
+            M = a * np.eye(3, dtype=np.float32) + (1.0 - a) * np.outer(ones, w)
+            A, B, v = M @ A, M @ B, M @ v
+        else:  # contrast
+            g_coeff = (A + B).T @ w  # mean-gray as a functional of x_bar
+            B = a * B + (1.0 - a) * np.outer(ones, g_coeff)
+            v = a * v + (1.0 - a) * float(w @ v) * ones
+            A = a * A
+    v = v + noise_bgr.astype(np.float32)
+    D = (1.0 / std).astype(np.float32)
+    A = D[:, None] * A
+    B = D[:, None] * B
+    v = D * (v - mean.astype(np.float32))
+    return A[perm], B[perm], v[perm]

@@ -242,3 +242,75 @@ def test_loader_with_bg_path(fixture_cfg, tmp_path):
     b = next(iter(loader))
     assert b.images.shape == (2, 1, 224, 224, 3)
     assert np.isfinite(b.images).all()
+
+
+# ------------------------------------------------------ device augment
+
+
+def test_device_augment_matches_host_transform(rng):
+    """data/device_augment.py == transforms.train_transform for the same
+    rng stream: the folded affine color map, MXU resize, background
+    composite and flips reproduce the host pipeline to f32 rounding."""
+    import jax.numpy as jnp
+
+    from swinvox_tpu.config import default_config
+    from swinvox_tpu.data import transforms as tr
+    from swinvox_tpu.data.device_augment import device_train_augment
+
+    cfg = default_config()
+    for seed in range(4):
+        imgs = rng.random((3, 137, 137, 4)).astype(np.float32)
+        imgs[..., 3] = (imgs[..., 3] > 0.4) * rng.random((3, 137, 137))
+        host = tr.train_transform(
+            imgs.copy(), cfg, np.random.default_rng(seed)
+        )
+        p = tr.draw_train_params(
+            cfg, np.random.default_rng(seed), 3, has_alpha=True
+        )
+        dev = device_train_augment(
+            jnp.asarray(imgs)[None],
+            jnp.asarray(p["bg_color"])[None],
+            jnp.asarray(p["color_A"])[None],
+            jnp.asarray(p["color_B"])[None],
+            jnp.asarray(p["color_v"])[None],
+            jnp.asarray(p["flips"])[None],
+        )
+        np.testing.assert_allclose(
+            np.asarray(dev[0]), host, atol=3e-4, rtol=1e-4
+        )
+
+
+def test_device_augment_loader_end_to_end(fixture_cfg):
+    """TRAIN.DEVICE_AUGMENT loader ships raw pixels + params whose
+    on-device application equals the host-augmented loader batch
+    (same seed/epoch -> same per-sample rng streams)."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from swinvox_tpu.data.device_augment import device_train_augment
+
+    cfg = copy.deepcopy(fixture_cfg)
+    cfg.CONST.NUM_WORKER = 2
+    host_loader = build_loader(cfg, DatasetType.TRAIN, n_views=2, batch_size=2)
+    cfg.TRAIN.DEVICE_AUGMENT = True
+    raw_loader = build_loader(cfg, DatasetType.TRAIN, n_views=2, batch_size=2)
+
+    hb = next(iter(host_loader))
+    rb = next(iter(raw_loader))
+    assert rb.aug is not None
+    assert rb.images.shape[2:] == (137, 137, 4)  # raw RGBA renders
+    assert rb.sample_names == hb.sample_names
+    out = device_train_augment(
+        jnp.asarray(rb.images),
+        jnp.asarray(rb.aug["bg_color"]),
+        jnp.asarray(rb.aug["color_A"]),
+        jnp.asarray(rb.aug["color_B"]),
+        jnp.asarray(rb.aug["color_v"]),
+        jnp.asarray(rb.aug["flips"]),
+        cfg.CONST.IMG_H,
+        cfg.CONST.CROP_IMG_H,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), hb.images, atol=3e-4, rtol=1e-4
+    )

@@ -266,3 +266,18 @@ def test_lr_finder(fixture_cfg, tmp_path):
     losses = [1.0, 0.95, 0.9, 0.7, 0.3, 0.25, 0.24, 0.5, 2.0, 9.0]
     s = suggest_lr(lrs, losses)
     assert s in (lrs[3], lrs[4])
+
+
+def test_train_with_device_augment(fixture_cfg, tmp_path):
+    """train_net end to end with TRAIN.DEVICE_AUGMENT: the loader ships
+    raw renders + params and the jitted on-device augmentation feeds the
+    step (trainer.py _augment_jit)."""
+    import copy
+
+    from swinvox_tpu.train.trainer import train_net
+
+    cfg = copy.deepcopy(fixture_cfg)
+    cfg.DIR.OUT_PATH = str(tmp_path / "out_devaug")
+    cfg.TRAIN.DEVICE_AUGMENT = True
+    best_iou = train_net(cfg)
+    assert best_iou >= 0.0

@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--workers", type=str, default="4,8,16")
     ap.add_argument("--root", type=str, default="/tmp/voxbench")
+    ap.add_argument(
+        "--raw", action="store_true",
+        help="device-augment mode: decode-only host path (ships raw "
+        "pixels + params; augmentation runs on-device)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -68,7 +73,7 @@ def main() -> None:
     for nw in [int(w) for w in args.workers.split(",")]:
         dataset = VoxelDataset(
             records, DatasetType.TRAIN, args.n_views, cfg,
-            train_augment=True, seed=0,
+            train_augment=True, seed=0, device_augment=args.raw,
         )
         loader = BatchLoader(
             dataset, batch_size=args.batch, shuffle=True, drop_last=True,
@@ -84,6 +89,7 @@ def main() -> None:
                 n_img += batch.images.shape[0]
         dt = time.perf_counter() - t0
         print(json.dumps({
+            "mode": "raw" if args.raw else "host-augment",
             "workers": nw,
             "images_per_sec": round(n_img / dt, 1),
             "views_per_sec": round(n_img * args.n_views / dt, 1),
