@@ -112,3 +112,10 @@ def device_train_augment(
     # per-view left-right flip
     flip = (flips > 0)[:, :, None, None, None]
     return jnp.where(flip, y[:, :, :, ::-1, :], y)
+
+
+# shared jitted entry (trainer + evaluator); inputs already sharded over
+# the mesh's data axis stay sharded through GSPMD
+device_train_augment_jit = jax.jit(
+    device_train_augment, static_argnums=(6, 7)
+)

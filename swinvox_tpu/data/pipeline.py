@@ -123,9 +123,10 @@ class VoxelDataset:
         self.cfg = cfg
         self.train_augment = train_augment
         self.seed = seed
-        # decode-only host path: pixels ship raw, augmentation runs on the
-        # accelerator (data/device_augment.py).  Train-augment splits only.
-        self.device_augment = device_augment and train_augment
+        # decode-only host path: pixels ship raw, the augmentation runs on
+        # the accelerator (data/device_augment.py) — train (full pipeline)
+        # and eval (crop/background/normalize) splits alike
+        self.device_augment = device_augment
         # optional random background images (reference DIR.RANDOM_BG_PATH,
         # utils/data_transforms.py:419-421)
         self.bg_files: List[str] = []
@@ -189,7 +190,10 @@ class VoxelDataset:
         RANDOM_BG_PATH (SUN background images stay a host-path feature);
         bbox crops (Pascal3D/Pix3D) are eval-only and unaffected.
         """
-        from swinvox_tpu.data.transforms import draw_train_params
+        from swinvox_tpu.data.transforms import (
+            draw_eval_params,
+            draw_train_params,
+        )
 
         rec = self.records[idx]
         if rec.bounding_box is not None:
@@ -203,14 +207,17 @@ class VoxelDataset:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, idx])
         )
-        chosen = rng.choice(
-            len(rec.image_paths), size=self.n_views, replace=False
-        )
-        images = np.stack(
-            [load_image_bgr(rec.image_paths[i]) for i in chosen]
-        )
+        if self.split == DatasetType.TRAIN:
+            chosen = rng.choice(
+                len(rec.image_paths), size=self.n_views, replace=False
+            )
+            paths = [rec.image_paths[i] for i in chosen]
+        else:
+            paths = rec.image_paths[: self.n_views]
+        images = np.stack([load_image_bgr(p) for p in paths])
         volume = load_volume(rec.volume_path)
-        params = draw_train_params(
+        draw = draw_train_params if self.train_augment else draw_eval_params
+        params = draw(
             self.cfg, rng, self.n_views, has_alpha=images.shape[-1] == 4
         )
         return rec.taxonomy_id, rec.sample_name, images, volume, params
@@ -386,6 +393,12 @@ def build_loader(
     index = DATASET_INDEX_MAPPING[dataset_name](cfg)
     records = index.samples(split)
     train = split == DatasetType.TRAIN
+    # device augmentation applies wherever the source supports it
+    # (fixed-size bbox-less renders — ShapeNet); bbox datasets
+    # (Pascal3D/Pix3D) stay on the host transform automatically
+    device_aug = cfg.TRAIN.DEVICE_AUGMENT and all(
+        r.bounding_box is None for r in records
+    )
     dataset = VoxelDataset(
         records,
         split,
@@ -393,7 +406,7 @@ def build_loader(
         cfg,
         train_augment=train,
         seed=seed,
-        device_augment=train and cfg.TRAIN.DEVICE_AUGMENT,
+        device_augment=device_aug,
     )
     import jax
 

@@ -444,3 +444,33 @@ def fold_color_affine(
     B = D[:, None] * B
     v = D * (v - mean.astype(np.float32))
     return A[perm], B[perm], v[perm]
+
+
+def draw_eval_params(
+    cfg: Config, rng: np.random.Generator, n_views: int, has_alpha: bool
+) -> dict:
+    """Device-augment parameters for the eval pipeline (crop -> background
+    -> normalize): background color ints in eval_transform's rng order,
+    normalize folded into the affine map, no jitter/noise/flip/permute."""
+    if has_alpha:
+        bg = (
+            np.array(
+                [
+                    rng.integers(lo, hi + 1)
+                    for lo, hi in cfg.TEST.RANDOM_BG_COLOR_RANGE
+                ],
+                np.float32,
+            )
+            / 255.0
+        )
+    else:
+        bg = np.zeros((3,), np.float32)
+    std = np.asarray(cfg.DATASET.STD, np.float32)
+    mean = np.asarray(cfg.DATASET.MEAN, np.float32)
+    return {
+        "bg_color": bg,
+        "color_A": np.diag(1.0 / std).astype(np.float32),
+        "color_B": np.zeros((3, 3), np.float32),
+        "color_v": (-mean / std).astype(np.float32),
+        "flips": np.zeros((n_views,), np.int32),
+    }

@@ -69,6 +69,7 @@ def evaluate(
 
     # accumulate samples into fixed-shape batches for the jitted step
     pend_img, pend_vol, pend_tax = [], [], []
+    pend_aug: List[dict] = []  # device-augment mode: per-sample params
     rendered = [0]  # first n_render samples -> PNG (reference test.py:179-187)
     inflight = []  # (device outputs, taxonomy ids, n, host volumes) pairs
 
@@ -82,15 +83,40 @@ def evaluate(
         pad = eval_batch_size - n
         images = np.stack(pend_img + [pend_img[-1]] * pad)
         volumes = np.stack(pend_vol + [pend_vol[-1]] * pad)
+        host = {"images": images, "volumes": volumes}
+        if pend_aug:
+            for k in pend_aug[0]:
+                vals = [p[k] for p in pend_aug] + [pend_aug[-1][k]] * pad
+                host[f"aug_{k}"] = np.stack(vals)
+            pend_aug.clear()
+
+        def augment(batch):
+            if "aug_bg_color" not in batch:
+                return batch["images"]
+            from swinvox_tpu.data.device_augment import (
+                device_train_augment_jit,
+            )
+
+            return device_train_augment_jit(
+                batch["images"],
+                batch["aug_bg_color"],
+                batch["aug_color_A"],
+                batch["aug_color_B"],
+                batch["aug_color_v"],
+                batch["aug_flips"],
+                cfg.CONST.IMG_H,
+                cfg.CONST.CROP_IMG_H,
+            )
+
         if mesh is not None:
             from swinvox_tpu.parallel import shard_batch
 
-            sharded = shard_batch({"images": images, "volumes": volumes}, mesh)
+            sharded = shard_batch(host, mesh)
             with mesh:
                 out = eval_step(
                     state.params,
                     state.batch_stats,
-                    sharded["images"],
+                    augment(sharded),
                     sharded["volumes"],
                     enable_merger=enable_merger,
                     enable_refiner=enable_refiner,
@@ -99,7 +125,7 @@ def evaluate(
             out = eval_step(
                 state.params,
                 state.batch_stats,
-                images,
+                augment(host),
                 volumes,
                 enable_merger=enable_merger,
                 enable_refiner=enable_refiner,
@@ -150,6 +176,8 @@ def evaluate(
             pend_img.append(batch.images[i])
             pend_vol.append(batch.volumes[i])
             pend_tax.append(batch.taxonomy_ids[i])
+            if batch.aug is not None:
+                pend_aug.append({k: v[i] for k, v in batch.aug.items()})
             n_seen += 1
             if len(pend_img) == eval_batch_size:
                 submit()

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from swinvox_tpu.config import Config
-from swinvox_tpu.data.device_augment import device_train_augment
+from swinvox_tpu.data.device_augment import device_train_augment_jit
 from swinvox_tpu.data.pipeline import build_loader
 from swinvox_tpu.data.taxonomy import DATASET_INDEX_MAPPING, DatasetType
 from swinvox_tpu.parallel import build_mesh, replicated, shard_batch, shard_params
@@ -35,11 +35,8 @@ from swinvox_tpu.utils.metrics_logger import MetricsLogger
 
 log = logging.getLogger(__name__)
 
-# device-side train augmentation (TRAIN.DEVICE_AUGMENT): the raw batch is
-# already sharded over the mesh's data axis, GSPMD keeps the output there
-_augment_jit = jax.jit(
-    device_train_augment, static_argnums=(6, 7)
-)
+# device-side train augmentation (TRAIN.DEVICE_AUGMENT)
+_augment_jit = device_train_augment_jit
 
 
 def train_net(cfg: Config) -> float:

@@ -314,3 +314,32 @@ def test_device_augment_loader_end_to_end(fixture_cfg):
     np.testing.assert_allclose(
         np.asarray(out), hb.images, atol=3e-4, rtol=1e-4
     )
+
+
+def test_device_augment_eval_matches_host(rng):
+    """Eval pipeline on-device (crop/background/normalize via eval
+    params) == transforms.eval_transform for the same rng stream."""
+    import jax.numpy as jnp
+
+    from swinvox_tpu.config import default_config
+    from swinvox_tpu.data import transforms as tr
+    from swinvox_tpu.data.device_augment import device_train_augment
+
+    cfg = default_config()
+    imgs = rng.random((2, 137, 137, 4)).astype(np.float32)
+    imgs[..., 3] = (imgs[..., 3] > 0.4) * rng.random((2, 137, 137))
+    host = tr.eval_transform(imgs.copy(), cfg, np.random.default_rng(7))
+    p = tr.draw_eval_params(
+        cfg, np.random.default_rng(7), 2, has_alpha=True
+    )
+    dev = device_train_augment(
+        jnp.asarray(imgs)[None],
+        jnp.asarray(p["bg_color"])[None],
+        jnp.asarray(p["color_A"])[None],
+        jnp.asarray(p["color_B"])[None],
+        jnp.asarray(p["color_v"])[None],
+        jnp.asarray(p["flips"])[None],
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev[0]), host, atol=3e-4, rtol=1e-4
+    )
