@@ -71,6 +71,10 @@ def device_train_augment(
     """
     b, n, h, w, c = raw.shape
     x = raw.astype(jnp.float32)
+    if raw.dtype == jnp.uint8:
+        # loader ships uint8 (4x smaller transfer); the decoder's [0,1]
+        # floats are recovered exactly (8-bit sources)
+        x = x * (1.0 / 255.0)
 
     # center crop (the reference crops only when strictly larger)
     if h > crop_size and w > crop_size:

@@ -220,6 +220,10 @@ class VoxelDataset:
         params = draw(
             self.cfg, rng, self.n_views, has_alpha=images.shape[-1] == 4
         )
+        # ship uint8: PNG sources are 8-bit, so round(x*255) inverts the
+        # decoder's /255 exactly and the host->device transfer shrinks 4x
+        # (device_train_augment rescales on-device)
+        images = np.round(images * 255.0).astype(np.uint8)
         return rec.taxonomy_id, rec.sample_name, images, volume, params
 
 

@@ -300,6 +300,7 @@ def test_device_augment_loader_end_to_end(fixture_cfg):
     rb = next(iter(raw_loader))
     assert rb.aug is not None
     assert rb.images.shape[2:] == (137, 137, 4)  # raw RGBA renders
+    assert rb.images.dtype == np.uint8  # 4x-smaller device transfer
     assert rb.sample_names == hb.sample_names
     out = device_train_augment(
         jnp.asarray(rb.images),
@@ -343,3 +344,49 @@ def test_device_augment_eval_matches_host(rng):
     np.testing.assert_allclose(
         np.asarray(dev[0]), host, atol=3e-4, rtol=1e-4
     )
+
+
+def test_device_augment_under_mesh(rng):
+    """device_train_augment composes with GSPMD: a batch sharded over the
+    data axis produces the single-device result."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from swinvox_tpu.config import default_config
+    from swinvox_tpu.data import transforms as tr
+    from swinvox_tpu.data.device_augment import device_train_augment_jit
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    cfg = default_config()
+    imgs = np.round(
+        rng.random((8, 2, 137, 137, 4)) * 255
+    ).astype(np.uint8)
+    params = [
+        tr.draw_train_params(cfg, np.random.default_rng(i), 2, True)
+        for i in range(8)
+    ]
+    stacked = {
+        k: np.stack([p[k] for p in params]) for k in params[0]
+    }
+    args = (
+        jnp.asarray(imgs),
+        jnp.asarray(stacked["bg_color"]),
+        jnp.asarray(stacked["color_A"]),
+        jnp.asarray(stacked["color_B"]),
+        jnp.asarray(stacked["color_v"]),
+        jnp.asarray(stacked["flips"]),
+    )
+    ref = np.asarray(device_train_augment_jit(*args))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    sharded = tuple(
+        jax.device_put(a, NamedSharding(mesh, P("data")))
+        for a in args
+    )
+    with mesh:
+        got = np.asarray(device_train_augment_jit(*sharded))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
