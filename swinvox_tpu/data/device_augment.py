@@ -123,3 +123,39 @@ def device_train_augment(
 device_train_augment_jit = jax.jit(
     device_train_augment, static_argnums=(6, 7)
 )
+
+
+def apply_device_augment(batch: dict, cfg) -> jax.Array:
+    """Return the model-ready images for a (possibly device-augment)
+    batch dict: applies the jitted on-device augmentation when the
+    aug_* parameter arrays are present, else passes images through.
+
+    The ONE place that knows the parameter order — every train_step
+    feeder (trainer, evaluator, LR finder, tuner, dry runs) goes
+    through here so the call sites cannot drift apart.
+    """
+    if "aug_bg_color" not in batch:
+        return batch["images"]
+    return device_train_augment_jit(
+        batch["images"],
+        batch["aug_bg_color"],
+        batch["aug_color_A"],
+        batch["aug_color_B"],
+        batch["aug_color_v"],
+        batch["aug_flips"],
+        cfg.CONST.IMG_H,
+        cfg.CONST.CROP_IMG_H,
+    )
+
+
+def batch_to_host_dict(b, cfg) -> dict:
+    """Flatten a pipeline Batch into the host dict every feeder ships to
+    the device: images + volumes, plus aug_* arrays when the loader is
+    in device-augment mode (Batch.aug is None when a source fell back
+    to host augmentation — bbox datasets — even under
+    TRAIN.DEVICE_AUGMENT)."""
+    host = {"images": b.images, "volumes": b.volumes}
+    if b.aug is not None:
+        for k, v in b.aug.items():
+            host[f"aug_{k}"] = v
+    return host

@@ -149,10 +149,12 @@ class VoxelDataset:
         """Reference's set_n_views_rendering (utils/data_loaders.py:51-52)."""
         self.n_views = n_views
 
-    def load(self, idx: int, epoch: int = 0) -> Tuple[str, str, np.ndarray, np.ndarray]:
-        from swinvox_tpu.data.transforms import eval_transform, train_transform
-
-        rec = self.records[idx]
+    def _select_views(
+        self, rec: SampleRecord, idx: int, epoch: int
+    ) -> Tuple[np.random.Generator, List[str]]:
+        """Per-sample rng + view paths — ONE implementation shared by
+        load() and load_raw() so their rng streams stay in lockstep (the
+        host/device augmentation parity depends on it)."""
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, idx])
         )
@@ -163,6 +165,13 @@ class VoxelDataset:
             paths = [rec.image_paths[i] for i in chosen]
         else:
             paths = rec.image_paths[: self.n_views]
+        return rng, paths
+
+    def load(self, idx: int, epoch: int = 0) -> Tuple[str, str, np.ndarray, np.ndarray]:
+        from swinvox_tpu.data.transforms import eval_transform, train_transform
+
+        rec = self.records[idx]
+        rng, paths = self._select_views(rec, idx, epoch)
         images = np.stack([load_image_bgr(p) for p in paths])
         volume = load_volume(rec.volume_path)
         if self.train_augment:
@@ -204,16 +213,7 @@ class VoxelDataset:
             raise ValueError(
                 "device_augment does not support RANDOM_BG_PATH images"
             )
-        rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, epoch, idx])
-        )
-        if self.split == DatasetType.TRAIN:
-            chosen = rng.choice(
-                len(rec.image_paths), size=self.n_views, replace=False
-            )
-            paths = [rec.image_paths[i] for i in chosen]
-        else:
-            paths = rec.image_paths[: self.n_views]
+        rng, paths = self._select_views(rec, idx, epoch)
         images = np.stack([load_image_bgr(p) for p in paths])
         volume = load_volume(rec.volume_path)
         draw = draw_train_params if self.train_augment else draw_eval_params
@@ -399,9 +399,12 @@ def build_loader(
     train = split == DatasetType.TRAIN
     # device augmentation applies wherever the source supports it
     # (fixed-size bbox-less renders — ShapeNet); bbox datasets
-    # (Pascal3D/Pix3D) stay on the host transform automatically
-    device_aug = cfg.TRAIN.DEVICE_AUGMENT and all(
-        r.bounding_box is None for r in records
+    # (Pascal3D/Pix3D) and SUN background-image augmentation
+    # (DIR.RANDOM_BG_PATH) stay on the host transform automatically
+    device_aug = (
+        cfg.TRAIN.DEVICE_AUGMENT
+        and not cfg.DIR.RANDOM_BG_PATH
+        and all(r.bounding_box is None for r in records)
     )
     dataset = VoxelDataset(
         records,

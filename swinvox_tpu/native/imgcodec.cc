@@ -151,7 +151,9 @@ long imgcodec_decode(const unsigned char* buf, long n, float** out_data,
 // Half-pixel-aligned bilinear resize (cv2 INTER_LINEAR semantics, matching
 // transforms.resize_bilinear_np): src [h, w, c] float32 -> dst [oh, ow, c].
 // Runs with the GIL released (ctypes), so loader threads scale on cores.
-extern "C" void imgcodec_resize_bilinear(const float* src, long h, long w,
+// Returns 0 on success, -1 on allocation failure (dst untouched — the
+// Python wrapper falls back to the numpy path).
+extern "C" long imgcodec_resize_bilinear(const float* src, long h, long w,
                                          long c, float* dst, long oh,
                                          long ow) {
   const float sy = (float)h / (float)oh;
@@ -164,7 +166,7 @@ extern "C" void imgcodec_resize_bilinear(const float* src, long h, long w,
     free(x0s);
     free(x1s);
     free(wxs);
-    return;
+    return -1;
   }
   for (long ox = 0; ox < ow; ox++) {
     float xs = ((float)ox + 0.5f) * sx - 0.5f;
@@ -201,4 +203,5 @@ extern "C" void imgcodec_resize_bilinear(const float* src, long h, long w,
   free(x0s);
   free(x1s);
   free(wxs);
+  return 0;
 }

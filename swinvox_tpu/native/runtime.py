@@ -115,7 +115,7 @@ def get_img_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.imgcodec_free.restype = None
     lib.imgcodec_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
-    lib.imgcodec_resize_bilinear.restype = None
+    lib.imgcodec_resize_bilinear.restype = ctypes.c_long
     lib.imgcodec_resize_bilinear.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
@@ -160,7 +160,9 @@ def resize_bilinear_native(img, out_h: int, out_w: int):
     src = np.ascontiguousarray(img, dtype=np.float32)
     h, w, c = src.shape
     dst = np.empty((out_h, out_w, c), np.float32)
-    lib.imgcodec_resize_bilinear(
+    rc = lib.imgcodec_resize_bilinear(
         src.ctypes.data, h, w, c, dst.ctypes.data, out_h, out_w
     )
+    if rc != 0:  # allocation failure — caller falls back to numpy
+        return None
     return dst

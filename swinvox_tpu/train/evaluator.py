@@ -91,22 +91,9 @@ def evaluate(
             pend_aug.clear()
 
         def augment(batch):
-            if "aug_bg_color" not in batch:
-                return batch["images"]
-            from swinvox_tpu.data.device_augment import (
-                device_train_augment_jit,
-            )
+            from swinvox_tpu.data.device_augment import apply_device_augment
 
-            return device_train_augment_jit(
-                batch["images"],
-                batch["aug_bg_color"],
-                batch["aug_color_A"],
-                batch["aug_color_B"],
-                batch["aug_color_v"],
-                batch["aug_flips"],
-                cfg.CONST.IMG_H,
-                cfg.CONST.CROP_IMG_H,
-            )
+            return apply_device_augment(batch, cfg)
 
         if mesh is not None:
             from swinvox_tpu.parallel import shard_batch

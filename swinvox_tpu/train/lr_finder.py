@@ -95,8 +95,14 @@ def find_lr(cfg: Config, plot_path: Optional[str] = None) -> float:
         loader.set_epoch(step // max(len(loader), 1))
         for batch in loader:
             lr = float(schedule(step))
+            from swinvox_tpu.data.device_augment import (
+                apply_device_augment,
+                batch_to_host_dict,
+            )
+
+            images = apply_device_augment(batch_to_host_dict(batch, cfg), cfg)
             state, metrics = train_step(
-                state, batch.images, batch.volumes, rng,
+                state, images, batch.volumes, rng,
                 enable_merger=cfg.NETWORK.USE_MERGER,
                 enable_refiner=cfg.NETWORK.USE_REFINER,
             )

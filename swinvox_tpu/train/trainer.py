@@ -20,7 +20,10 @@ import jax
 import numpy as np
 
 from swinvox_tpu.config import Config
-from swinvox_tpu.data.device_augment import device_train_augment_jit
+from swinvox_tpu.data.device_augment import (
+    apply_device_augment,
+    batch_to_host_dict,
+)
 from swinvox_tpu.data.pipeline import build_loader
 from swinvox_tpu.data.taxonomy import DATASET_INDEX_MAPPING, DatasetType
 from swinvox_tpu.parallel import build_mesh, replicated, shard_batch, shard_params
@@ -34,9 +37,6 @@ from swinvox_tpu.utils.meters import AverageMeter
 from swinvox_tpu.utils.metrics_logger import MetricsLogger
 
 log = logging.getLogger(__name__)
-
-# device-side train augmentation (TRAIN.DEVICE_AUGMENT)
-_augment_jit = device_train_augment_jit
 
 
 def train_net(cfg: Config) -> float:
@@ -113,20 +113,11 @@ def train_net(cfg: Config) -> float:
         train_loader.set_epoch(epoch_idx)
         t_end = time.time()
         profiling = False
-        if cfg.TRAIN.DEVICE_AUGMENT:
-            # raw decoded pixels + per-sample params; the augmentation
-            # itself runs jitted on the accelerator right before the step
-            host_batches = (
-                {"images": b.images, "volumes": b.volumes, **{
-                    f"aug_{k}": v for k, v in b.aug.items()
-                }}
-                for b in train_loader
-            )
-        else:
-            host_batches = (
-                {"images": b.images, "volumes": b.volumes}
-                for b in train_loader
-            )
+        # device-augment loaders ship raw pixels + aug_* params (the
+        # augmentation runs jitted on the accelerator right before the
+        # step); host-augmented loaders — including bbox datasets that
+        # fell back despite TRAIN.DEVICE_AUGMENT — ship images only
+        host_batches = (batch_to_host_dict(b, cfg) for b in train_loader)
         for batch_idx, device_batch in enumerate(
             device_prefetch(host_batches, mesh)
         ):
@@ -140,18 +131,7 @@ def train_net(cfg: Config) -> float:
                     log.info("Wrote profiler trace to %s", cfg.DIR.PROFILE_DIR)
             data_time.update(time.time() - t_end)
             with mesh:
-                images = device_batch["images"]
-                if cfg.TRAIN.DEVICE_AUGMENT:
-                    images = _augment_jit(
-                        images,
-                        device_batch["aug_bg_color"],
-                        device_batch["aug_color_A"],
-                        device_batch["aug_color_B"],
-                        device_batch["aug_color_v"],
-                        device_batch["aug_flips"],
-                        cfg.CONST.IMG_H,
-                        cfg.CONST.CROP_IMG_H,
-                    )
+                images = apply_device_augment(device_batch, cfg)
                 state, metrics = train_step(
                     state,
                     images,

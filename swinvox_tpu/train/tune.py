@@ -300,8 +300,16 @@ def _default_objective(trial_cfg: Config, n_epochs: int, report) -> float:
         )
         train_loader.set_epoch(epoch)
         for batch in train_loader:
+            from swinvox_tpu.data.device_augment import (
+                apply_device_augment,
+                batch_to_host_dict,
+            )
+
+            images = apply_device_augment(
+                batch_to_host_dict(batch, trial_cfg), trial_cfg
+            )
             state, _ = train_step(
-                state, batch.images, batch.volumes, rng,
+                state, images, batch.volumes, rng,
                 enable_merger=enable_merger,
                 enable_refiner=enable_refiner,
             )

@@ -390,3 +390,26 @@ def test_device_augment_under_mesh(rng):
     with mesh:
         got = np.asarray(device_train_augment_jit(*sharded))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_device_augment_bg_path_falls_back_to_host(fixture_cfg, tmp_path):
+    """TRAIN.DEVICE_AUGMENT + DIR.RANDOM_BG_PATH (a host-only feature)
+    must fall back to host augmentation, not crash (review round 3)."""
+    import copy
+
+    from PIL import Image
+
+    cfg = copy.deepcopy(fixture_cfg)
+    bg_dir = tmp_path / "bgs"
+    bg_dir.mkdir()
+    Image.fromarray(
+        (np.random.default_rng(0).random((32, 32, 3)) * 255).astype(np.uint8)
+    ).save(str(bg_dir / "bg.png"))
+    cfg.DIR.RANDOM_BG_PATH = str(bg_dir)
+    cfg.TRAIN.DEVICE_AUGMENT = True
+    cfg.CONST.NUM_WORKER = 2
+    loader = build_loader(cfg, DatasetType.TRAIN, n_views=2, batch_size=2)
+    b = next(iter(loader))
+    assert b.aug is None  # host path
+    assert b.images.shape[2:] == (224, 224, 3)
+    assert b.images.dtype == np.float32
