@@ -125,7 +125,23 @@ def main() -> int:
     enable_compilation_cache()
     cfg = default_config()
 
-    train_ips = bench_training(cfg)
+    # The rewindow stage chain is the newest Mosaic surface; if a
+    # toolchain change makes it fail to BUILD, fall back to the proven
+    # per-block fused path rather than losing the whole benchmark.
+    fallback = ""
+    try:
+        train_ips = bench_training(cfg)
+    except Exception as e:  # compile/lowering failure, not divergence
+        if not cfg.NETWORK.USE_REWINDOW_CHAIN:
+            raise
+        print(
+            f"bench: default config failed ({type(e).__name__}: {e}); "
+            "retrying with NETWORK.USE_REWINDOW_CHAIN=false",
+            file=sys.stderr,
+        )
+        cfg.NETWORK.USE_REWINDOW_CHAIN = False
+        fallback = "rewindow_chain_disabled"
+        train_ips = bench_training(cfg)
 
     model = SwinVoxModel.from_config(cfg)
     init_sample = jnp.zeros((INFER_BATCH, N_VIEWS, 224, 224, 3), jnp.float32)
@@ -144,6 +160,8 @@ def main() -> int:
         "inference_batch": INFER_BATCH,
         "baseline_train_images_per_sec": REFERENCE_TRAIN_IMAGES_PER_SEC,
     }
+    if fallback:
+        result["fallback"] = fallback
     print(json.dumps(result))
     return 0
 

@@ -192,6 +192,13 @@ class NetworkConfig:
     # 52.0, v5e trace at batch 64); with this kernel the whole step is
     # 154.4 ms (344 -> 414 img/s, +20%), loss bit-identical
     USE_PALLAS_SWIN_BLOCK_TRAIN: bool = True
+    # chain whole swin stages window-major between fused blocks: ONE
+    # rewindow pallas pass per block boundary (ops/rewindow.py) instead
+    # of unpartition -> roll -> partition, with the 49->64 token padding
+    # kept resident across the stage.  Escape hatch for the fused-block
+    # paths above (bench.py falls back automatically if the kernel fails
+    # to build on a new toolchain)
+    USE_REWINDOW_CHAIN: bool = True
     #   initialize backbones from converted pretrained weights when a
     #   checkpoint path is given.  The reference downloads pretrained
     #   ResNet-50/Swin-Tiny but then clobbers them with init_weights

@@ -43,6 +43,7 @@ class Encoder(nn.Module):
     use_pallas: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
+    use_rewindow_chain: bool = True
     pallas_interpret: bool = False  # run kernels in the Pallas interpreter
     # backbone scale knobs (defaults = reference's ResNet-50 + Swin-Tiny;
     # smaller settings give cheap CI variants and a model-family axis)
@@ -71,6 +72,7 @@ class Encoder(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_block=self.use_pallas_swin_block,
             use_pallas_block_train=self.use_pallas_swin_block_train,
+            use_rewindow_chain=self.use_rewindow_chain,
             pallas_interpret=self.pallas_interpret,
             name="swin",
         )(img, train)

@@ -412,6 +412,7 @@ class SwinTiny(nn.Module):
     use_pallas: bool = False
     use_pallas_block: bool = False
     use_pallas_block_train: bool = False
+    use_rewindow_chain: bool = True
     pallas_interpret: bool = False
 
     @nn.compact
@@ -447,9 +448,13 @@ class SwinTiny(nn.Module):
         # pass (ops/rewindow.py) instead of the unpartition -> roll ->
         # partition HBM round trips (~27% of swin step time in the trace).
         chain = (
-            (self.use_pallas_block and not train)
-            or (self.use_pallas_block_train and train)
-        ) and (self.pallas_interpret or jax.default_backend() == "tpu")
+            self.use_rewindow_chain
+            and (
+                (self.use_pallas_block and not train)
+                or (self.use_pallas_block_train and train)
+            )
+            and (self.pallas_interpret or jax.default_backend() == "tpu")
+        )
 
         features: List[jax.Array] = []
         block_idx = 0

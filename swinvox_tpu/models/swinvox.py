@@ -60,6 +60,7 @@ class SwinVoxModel(nn.Module):
     refiner_unrolled_conv: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
+    use_rewindow_chain: bool = True
     pallas_interpret: bool = False  # run Pallas kernels in the interpreter
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
     resnet_stage_depths: Tuple[int, int, int] = (3, 4, 6)
@@ -89,6 +90,7 @@ class SwinVoxModel(nn.Module):
             refiner_unrolled_conv=net.REFINER_UNROLLED_CONV,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
             use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
+            use_rewindow_chain=net.USE_REWINDOW_CHAIN,
             pallas_interpret=net.PALLAS_INTERPRET,
             swin_depths=tuple(net.SWIN_DEPTHS),
             resnet_stage_depths=tuple(net.RESNET_STAGE_DEPTHS),
@@ -113,6 +115,7 @@ class SwinVoxModel(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_swin_block=self.use_pallas_swin_block,
             use_pallas_swin_block_train=self.use_pallas_swin_block_train,
+            use_rewindow_chain=self.use_rewindow_chain,
             pallas_interpret=self.pallas_interpret,
             swin_depths=self.swin_depths,
             resnet_stage_depths=self.resnet_stage_depths,
