@@ -34,16 +34,22 @@ def _build_so(src: str, name: str, extra_flags=()) -> Optional[str]:
     if os.path.exists(so_path):
         return so_path
     os.makedirs(_CACHE_DIR, exist_ok=True)
+    # Concurrent builders (e.g. pytest-xdist workers) must not share a tmp
+    # path: compile to a per-process file, then atomically rename — losing
+    # the rename race is fine because the content is identical.
+    tmp_path = f"{so_path}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", so_path + ".tmp", src, *extra_flags,
+        "-o", tmp_path, src, *extra_flags,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        os.replace(tmp_path, so_path)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
+        if os.path.exists(so_path):  # another process won the build race
+            return so_path
         log.warning("native %s build failed (%s); using fallback", name, e)
         return None
-    os.replace(so_path + ".tmp", so_path)
     log.info("built native %s: %s", name, so_path)
     return so_path
 
