@@ -1,6 +1,6 @@
 """Capture a jax.profiler trace of the train step on the TPU.
 
-Usage: python tools/trace_train_step.py [out_dir]
+Usage: python tools/trace_train_step.py [out_dir] [batch]
 Then:  python tools/parse_trace.py <out_dir>
 
 The per-op module attribution this enables drove every optimization in
@@ -17,7 +17,7 @@ from swinvox_tpu.train.state import create_train_state
 from swinvox_tpu.train.steps import make_train_step
 from swinvox_tpu.utils.cache import enable_compilation_cache
 
-B = 64
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_trace"
 
 
