@@ -13,9 +13,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU ABORTS the process when a cross-device collective call looks
+# stuck for ~35s (xla_cpu_collective_call_terminate_timeout_seconds).
+# With 4 xdist workers oversubscribing one host CPU and interpret-mode
+# Pallas inside sharded steps (minutes per step), per-device skew can
+# blow well past that — seen as "Fatal Python error: Aborted" killing a
+# worker mid-suite.  Raise both the warn and terminate deadlines.
+if "collective_call_terminate" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
