@@ -19,11 +19,14 @@ if "xla_force_host_platform_device_count" not in flags:
 # With 4 xdist workers oversubscribing one host CPU and interpret-mode
 # Pallas inside sharded steps (minutes per step), per-device skew can
 # blow well past that — seen as "Fatal Python error: Aborted" killing a
-# worker mid-suite.  Raise both the warn and terminate deadlines.
+# worker mid-suite.  Raise both the warn and terminate deadlines — but keep
+# terminate bounded (15 min, well above the observed skew) so a genuinely
+# deadlocked collective still aborts with a diagnostic instead of hanging a
+# pytest worker for an hour.
 if "collective_call_terminate" not in flags:
     flags += (
         " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=900"
     )
 os.environ["XLA_FLAGS"] = flags
 
