@@ -177,6 +177,11 @@ class NetworkConfig:
     # Off: measured 153.7 -> 298.6 ms/step at batch 64 — the chunked
     # patch-stack scan lowers far worse than XLA's own kernel-grad conv
     REFINER_UNROLLED_CONV: bool = False
+    # fused Pallas backward for the same conv (ops/pallas_down1.py):
+    # dW + dx in ONE pass over the cotangent (XLA computes them at
+    # 69 GB/s / 1.9% MXU — its 1-input-channel worst case); forward
+    # stays the stock lax conv (bit-identical inference)
+    REFINER_DOWN1_PALLAS: bool = False
     # whole-SwinBlock megakernel at inference (ops/pallas_swin_block.py):
     # LN1+W-MSA+residual+LN2+MLP in one kernel (supersedes the W-MSA-only
     # kernel on deterministic passes).  Measured at batch 128: 2012 ->
@@ -258,6 +263,10 @@ class TrainConfig:
     # split each batch into this many sequential micro-batches, averaging
     # gradients before the optimizer update — lets BATCH_SIZE exceed HBM
     GRAD_ACCUM_STEPS: int = 1
+    # single-HBM-pass clip+decay+Adam+param update (optim.py
+    # fused_torch_adam_apply); False falls back to the optax chain.
+    # Same math, same optimizer-state structure either way.
+    FUSED_OPTIMIZER: bool = False
     # run the train augmentations ON-DEVICE (data/device_augment.py): the
     # host ships raw decoded renders + per-sample parameters; crop/resize
     # ride the MXU and the color pipeline folds into one affine map.

@@ -394,9 +394,18 @@ def build_loader(
             if split == DatasetType.TRAIN
             else cfg.DATASET.TEST_DATASET
         )
+    import jax
+
     index = DATASET_INDEX_MAPPING[dataset_name](cfg)
     records = index.samples(split)
     train = split == DatasetType.TRAIN
+    if not train and jax.process_count() > 1:
+        # multi-host evaluation: shard the SAMPLES across processes
+        # (strided, so the per-host category mix stays even); evaluate()
+        # assembles global eval batches from each process's local slice
+        # and reduces the metrics globally.  Train splits instead shard
+        # each global batch contiguously (shard_index/shard_count below).
+        records = records[jax.process_index() :: jax.process_count()]
     # device augmentation applies wherever the source supports it
     # (fixed-size bbox-less renders — ShapeNet); bbox datasets
     # (Pascal3D/Pix3D) and SUN background-image augmentation
@@ -415,8 +424,6 @@ def build_loader(
         seed=seed,
         device_augment=device_aug,
     )
-    import jax
-
     return BatchLoader(
         dataset,
         batch_size=batch_size or (cfg.CONST.BATCH_SIZE if train else 1),

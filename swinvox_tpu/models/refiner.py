@@ -33,6 +33,10 @@ class Refiner(nn.Module):
     # (ops/unrolled_conv.py) — same forward, reassociated adjoints.
     # Off by default (slower in the full step; see PERFORMANCE.md)
     unrolled_first_conv: bool = False
+    # fused Pallas backward for the same conv (ops/pallas_down1.py):
+    # dW and dx in one kernel pass over the cotangent
+    down1_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, coarse_volumes: jax.Array, train: bool) -> jax.Array:
@@ -41,7 +45,19 @@ class Refiner(nn.Module):
         def down(x, feats, name):
             conv = Conv(feats, (4, 4, 4), padding=2, dtype=self.dtype,
                         name=f"{name}_conv")
-            if self.unrolled_first_conv and x.shape[-1] == 1:
+            if self.down1_pallas and x.shape[-1] == 1:
+                from swinvox_tpu.ops.pallas_down1 import conv3d_down1
+
+                # materialize the identical param tree, then run the
+                # custom-backward op (forward is the same lax conv)
+                conv(jnp.zeros((1, 4, 4, 4, 1), self.dtype))
+                cp = conv.variables["params"]["Conv_0"]
+                y = conv3d_down1(
+                    x, cp["kernel"].astype(self.dtype),
+                    interpret=self.pallas_interpret,
+                )
+                y = y + cp["bias"].astype(y.dtype)
+            elif self.unrolled_first_conv and x.shape[-1] == 1:
                 from swinvox_tpu.ops.unrolled_conv import conv3d_1ch
 
                 # materialize the identical param tree, then run the

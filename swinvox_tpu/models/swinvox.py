@@ -58,6 +58,10 @@ class SwinVoxModel(nn.Module):
     use_merger_stack: bool = False
     merger_stack_max_volumes: int = 64
     refiner_unrolled_conv: bool = False
+    # fused Pallas backward for the refiner's 1-channel first conv
+    # (ops/pallas_down1.py): one pass over the cotangent computes both
+    # dW and dx; forward unchanged (stock lax conv)
+    refiner_down1_pallas: bool = False
     use_pallas_swin_block: bool = False
     use_pallas_swin_block_train: bool = False
     use_rewindow_chain: bool = True
@@ -88,6 +92,7 @@ class SwinVoxModel(nn.Module):
             use_merger_stack=net.USE_MERGER_STACK,
             merger_stack_max_volumes=net.MERGER_STACK_MAX_VOLUMES,
             refiner_unrolled_conv=net.REFINER_UNROLLED_CONV,
+            refiner_down1_pallas=net.REFINER_DOWN1_PALLAS,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
             use_pallas_swin_block_train=net.USE_PALLAS_SWIN_BLOCK_TRAIN,
             use_rewindow_chain=net.USE_REWINDOW_CHAIN,
@@ -150,6 +155,8 @@ class SwinVoxModel(nn.Module):
                 tconv_use_bias=self.tconv_use_bias,
                 dtype=self.dtype,
                 unrolled_first_conv=self.refiner_unrolled_conv,
+                down1_pallas=self.refiner_down1_pallas,
+                pallas_interpret=self.pallas_interpret,
                 name="refiner",
             )(merged, train)
         else:

@@ -29,6 +29,87 @@ from typing import Optional
 log = logging.getLogger(__name__)
 
 _INITIALIZED = False
+_BARRIER_COUNT = 0
+
+
+def coordination_barrier(name: str, timeout_s: int = 1200) -> None:
+    """Align all processes via the jax.distributed coordination service.
+
+    Unlike a Gloo collective this has a CONFIGURABLE timeout and no
+    compiled dispatch, so it is safe to place in front of lazily-created
+    communicator contexts (see warm_collectives).  No-op single-process.
+    Every process must call with the same sequence of names.
+    """
+    global _BARRIER_COUNT
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:  # initialized outside jax.distributed (unusual)
+        return
+    _BARRIER_COUNT += 1
+    client.wait_at_barrier(
+        f"swinvox_{name}_{_BARRIER_COUNT}", timeout_in_ms=timeout_s * 1000
+    )
+
+
+def warm_collectives(mesh=None, timeout_s: int = 1200) -> None:
+    """Pre-create the cross-process communicator contexts a sharded run
+    will use.  No-op single-process.
+
+    XLA:CPU's Gloo backend builds each communicator clique lazily on its
+    first collective with a HARD-CODED 30s key-value-store wait
+    (xla/backends/cpu/collectives); the configurable
+    --xla_cpu_collective_call_*_timeout_seconds flags only govern calls on
+    contexts that already exist.  On a contended host two processes can
+    skew by minutes while tracing/compiling, so any first-collective that
+    lands after such a gap dies with "Gloo context initialization failed:
+    DEADLINE_EXCEEDED" (observed live: shard_params' device_put on one
+    process while the peer was still building its train state).  Aligning
+    the processes with a coordination-service barrier and immediately
+    running one tiny collective per device set leaves every later
+    dispatch on a warm context, governed by the configurable call
+    timeouts instead.  TPU runs don't need this (ICI communicators are
+    created at client init) but it is harmless there.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    coordination_barrier("warm_collectives", timeout_s)
+    # global clique: every device on every process
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
+    if mesh is None:
+        return
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    for axis in mesh.axis_names:
+        if mesh.shape[axis] <= 1:
+            continue
+        # per-axis cliques: one communicator per row/column of the mesh —
+        # the device sets the train step's psums/all-gathers run over
+        from jax.experimental.shard_map import shard_map
+
+        f = jax.jit(
+            shard_map(
+                lambda x, a=axis: jax.lax.psum(x, a),
+                mesh=mesh,
+                in_specs=P(axis),
+                out_specs=P(),
+            )
+        )
+        n = mesh.shape[axis]
+        x = jax.device_put(
+            np.zeros((n,), np.float32), NamedSharding(mesh, P(axis))
+        )
+        np.asarray(f(x))  # block: the context must exist before returning
+    coordination_barrier("warm_collectives_done", timeout_s)
 
 
 def maybe_initialize(cfg: Optional[object] = None) -> bool:

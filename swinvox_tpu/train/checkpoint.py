@@ -25,6 +25,41 @@ from swinvox_tpu.train.state import TrainState
 log = logging.getLogger(__name__)
 
 
+def _to_host(tree):
+    """Fetch a (possibly sharded) device tree to host numpy.
+
+    Under a MULTI-PROCESS mesh, model-sharded leaves (the refiner
+    bottleneck under PARALLEL.MODEL_PARALLEL > 1, parallel/mesh.py TP
+    rules) span non-addressable devices, where jax.device_get raises —
+    gather those with a process-wide all-gather instead.  The gathers are
+    collectives: every process must call _to_host (same tree, same order),
+    even though only process 0 writes the file.
+    """
+
+    def get(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree.map(get, tree)
+
+
+def _write_blob(path: str, blob: bytes) -> None:
+    """Atomic write, process 0 only (multi-process runs share the save
+    call so the gather collectives in _to_host line up)."""
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(
     path: str,
     state: TrainState,
@@ -32,11 +67,10 @@ def save_checkpoint(
     best_iou: float,
     best_epoch: int,
 ) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_states": jax.device_get(state.opt_states),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_states": _to_host(state.opt_states),
         "step": int(jax.device_get(state.step)),
     }
     meta = {
@@ -47,10 +81,7 @@ def save_checkpoint(
     blob = serialization.msgpack_serialize(
         {"meta": meta, "state": serialization.to_state_dict(payload)}
     )
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+    _write_blob(path, blob)
     log.info("Saved checkpoint to %s (%.1f MB)", path, len(blob) / 1e6)
 
 
@@ -63,10 +94,9 @@ def save_params_only(path: str, state: TrainState) -> None:
     carry Adam moments.  Loadable by load_checkpoint (and therefore
     Predictor.from_checkpoint), which detects the format marker.
     """
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
     }
     blob = serialization.msgpack_serialize(
         {
@@ -74,10 +104,7 @@ def save_params_only(path: str, state: TrainState) -> None:
             "state": serialization.to_state_dict(payload),
         }
     )
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+    _write_blob(path, blob)
     log.info("Saved params-only checkpoint to %s (%.1f MB)", path, len(blob) / 1e6)
 
 
@@ -128,8 +155,8 @@ def load_checkpoint(
     meta = blob["meta"]
     if meta.get("format") == "params-only":
         template = {
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
+            "params": _to_host(state.params),
+            "batch_stats": _to_host(state.batch_stats),
         }
         restored = serialization.from_state_dict(template, blob["state"])
         new_state = state.replace(
@@ -140,9 +167,9 @@ def load_checkpoint(
     # the template must keep its real pytree structure (optax NamedTuples),
     # so from_state_dict can rebuild it from the raw msgpack dicts
     template = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_states": jax.device_get(state.opt_states),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_states": _to_host(state.opt_states),
         "step": int(jax.device_get(state.step)),
     }
     restored = serialization.from_state_dict(template, blob["state"])

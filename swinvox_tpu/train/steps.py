@@ -152,17 +152,27 @@ def make_train_step(
         for name in MODULE_NAMES:
             if not active[name]:
                 continue  # exactly like the reference's skipped solver.step
-            updates, new_opt_states[name] = optimizers[name].transform.update(
-                grads[name], state.opt_states[name], state.params[name]
-            )
             # the LR schedule runs on the GLOBAL step so gated modules'
             # milestones don't shift (reference steps every scheduler each
             # epoch, core/train.py:318-321)
             lr = optimizers[name].schedule(state.step)
-            updates = jax.tree.map(lambda u: -lr * u, updates)
-            new_params[name] = optax.apply_updates(
-                state.params[name], updates
-            )
+            if optimizers[name].fused_apply is not None:
+                # single-HBM-pass clip+decay+moment+param update (optim.py)
+                new_params[name], new_opt_states[name] = optimizers[
+                    name
+                ].fused_apply(
+                    state.params[name], grads[name], state.opt_states[name], lr
+                )
+            else:
+                updates, new_opt_states[name] = optimizers[
+                    name
+                ].transform.update(
+                    grads[name], state.opt_states[name], state.params[name]
+                )
+                updates = jax.tree.map(lambda u: -lr * u, updates)
+                new_params[name] = optax.apply_updates(
+                    state.params[name], updates
+                )
 
         metrics = {
             "encoder_loss": encoder_loss,

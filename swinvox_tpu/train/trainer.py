@@ -26,7 +26,13 @@ from swinvox_tpu.data.device_augment import (
 )
 from swinvox_tpu.data.pipeline import build_loader
 from swinvox_tpu.data.taxonomy import DATASET_INDEX_MAPPING, DatasetType
-from swinvox_tpu.parallel import build_mesh, replicated, shard_batch, shard_params
+from swinvox_tpu.parallel import (
+    build_mesh,
+    replicated,
+    shard_batch,
+    shard_params,
+    warm_collectives,
+)
 from swinvox_tpu.parallel.mesh import device_prefetch
 from swinvox_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from swinvox_tpu.train.evaluator import evaluate
@@ -57,6 +63,7 @@ def train_net(cfg: Config) -> float:
         log.info("Parameters in %s: %d.", name.capitalize(), n)
 
     mesh = build_mesh(cfg, batch_size=cfg.CONST.BATCH_SIZE)
+    warm_collectives(mesh)
     state = state.replace(
         params=shard_params(state.params, mesh),
         batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
@@ -71,6 +78,14 @@ def train_net(cfg: Config) -> float:
     init_epoch, best_iou, best_epoch = 0, -1.0, -1
     if cfg.CONST.WEIGHTS and cfg.TRAIN.RESUME_TRAIN:
         state, meta = load_checkpoint(cfg.CONST.WEIGHTS, state)
+        # restored leaves are host numpy — re-place them on the mesh (on a
+        # multi-process mesh an unsharded leaf cannot feed the global step)
+        state = state.replace(
+            params=shard_params(state.params, mesh),
+            batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+            opt_states=shard_params(state.opt_states, mesh),
+            step=jax.device_put(np.asarray(state.step), replicated(mesh)),
+        )
         if meta.get("format") == "params-only":
             # weights-only export: no optimizer state or epoch counters —
             # fine-tune from epoch 0 rather than crash on missing meta
@@ -236,6 +251,7 @@ def test_net(
         state, _ = load_checkpoint(weights, state, restore_optimizer=False)
     # eval shards over the same mesh as training (all devices)
     mesh = build_mesh(cfg)
+    warm_collectives(mesh)
     state = state.replace(
         params=shard_params(state.params, mesh),
         batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),

@@ -977,3 +977,90 @@ def test_rewindow_under_mesh(rng):
             lambda z: rewindow(z, 8, 8, win, s, -1, interpret=True)
         )(xs)
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_down1_fused_backward_grad_parity(rng):
+    """conv3d_down1 (ops/pallas_down1.py, interpret): stock-conv forward
+    plus the fused one-pass Pallas backward == plain lax conv in value
+    and both gradients, including the non-multiple-of-16 batch pad path
+    (5 volumes) and an uneven cotangent."""
+    from swinvox_tpu.ops.pallas_down1 import conv3d_down1
+
+    for n in (16, 5):
+        x = jnp.asarray(
+            rng.standard_normal((n, 32, 32, 32, 1)), jnp.float32
+        )
+        k = jnp.asarray(
+            rng.standard_normal((4, 4, 4, 1, 32)) * 0.1, jnp.float32
+        )
+        t = jnp.asarray(
+            rng.standard_normal((n, 33, 33, 33, 32)), jnp.float32
+        )
+
+        def ref(x, k):
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC")
+            )
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1, 1), [(2, 2)] * 3, dimension_numbers=dn
+            )
+
+        def fused(x, k):
+            return conv3d_down1(x, k, interpret=True)
+
+        def loss(fn):
+            return lambda x, k: jnp.sum((fn(x, k) - t) ** 2)
+
+        l0, (gx0, gk0) = jax.value_and_grad(loss(ref), (0, 1))(x, k)
+        l1, (gx1, gk1) = jax.value_and_grad(loss(fused), (0, 1))(x, k)
+        # forward IS the stock conv -> loss identical
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gx1), np.asarray(gx0), rtol=1e-4, atol=1e-4
+        )
+        gk_scale = float(np.abs(np.asarray(gk0)).max())
+        np.testing.assert_allclose(
+            np.asarray(gk1), np.asarray(gk0), rtol=1e-4,
+            atol=1e-4 * gk_scale,
+        )
+
+
+def test_refiner_down1_pallas_parity(rng):
+    """Refiner with/without the fused down1 backward (interpret):
+    identical forward, matching gradients, identical param trees."""
+    import jax.tree_util as tu
+
+    from swinvox_tpu.models.refiner import Refiner
+
+    vol = jnp.asarray(rng.standard_normal((2, 32, 32, 32)), jnp.float32)
+    a = Refiner(dtype=jnp.float32, down1_pallas=False)
+    b = Refiner(dtype=jnp.float32, down1_pallas=True, pallas_interpret=True)
+    v = a.init(jax.random.PRNGKey(0), vol, True)
+    assert tu.tree_structure(b.init(jax.random.PRNGKey(0), vol, True)) == (
+        tu.tree_structure(v)
+    )
+
+    def loss(mod):
+        def f(p, vol):
+            out, _ = mod.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, vol, True,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2)
+        return f
+
+    l0, (gp0, gv0) = jax.value_and_grad(loss(a), (0, 1))(v["params"], vol)
+    l1, (gp1, gv1) = jax.value_and_grad(loss(b), (0, 1))(v["params"], vol)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gv1), np.asarray(gv0), rtol=1e-4, atol=1e-4
+    )
+    key_of = lambda kv: tu.keystr(kv[0])  # noqa: E731
+    for (pth, x), (_, y) in zip(
+        sorted(tu.tree_flatten_with_path(gp0)[0], key=key_of),
+        sorted(tu.tree_flatten_with_path(gp1)[0], key=key_of),
+    ):
+        scale = np.abs(np.asarray(x)).max() + 1e-6
+        assert np.abs(np.asarray(y) - np.asarray(x)).max() <= 1e-3 * scale, (
+            tu.keystr(pth)
+        )

@@ -315,3 +315,75 @@ def test_cross_view_parity(rng, downsample):
     np.testing.assert_allclose(
         j_gx, t_gx.transpose(0, 1, 3, 4, 2), rtol=1e-3, atol=1e-5
     )
+
+
+def test_optimizer_matches_torch_adam_and_optax_chain():
+    """The training update — clip -> L2-on-grad -> Adam -> param step — vs
+    torch's own optimizer stack, on BOTH our codepaths (the optax chain and
+    the fused single-pass update, TRAIN.FUSED_OPTIMIZER).
+
+    Reference semantics under test (core/train.py:282-297): per-module
+    clip_grad_norm_(max_norm=1) THEN optimizer.step() of
+    torch.optim.Adam(lr, betas, weight_decay) — weight decay applied as L2
+    on the already-clipped gradient before the moment updates.  One step
+    draws huge gradients so the clip branch is exercised too (torch adds
+    1e-6 to the clip denominator where optax does not, hence the 1e-5
+    tolerance on that step's trajectory).
+    """
+    import optax
+
+    from swinvox_tpu.config import default_config
+    from swinvox_tpu.train.optim import build_module_optimizer
+
+    cfg = default_config()
+    lr, (b1, b2) = 2.5e-3, cfg.TRAIN.BETAS
+    wd = cfg.TRAIN.WEIGHT_DECAY
+    rng = np.random.default_rng(7)
+    w0 = rng.normal(size=(48, 24)).astype(np.float32)
+    v0 = rng.normal(size=(13,)).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tv = torch.nn.Parameter(torch.from_numpy(v0.copy()))
+    topt = torch.optim.Adam(
+        [tw, tv], lr=lr, betas=(b1, b2), eps=1e-8, weight_decay=wd
+    )
+
+    opt = build_module_optimizer(cfg, lr, milestones=(), steps_per_epoch=1)
+    assert opt.fused_apply is not None
+    params = {"w": jnp.asarray(w0), "v": jnp.asarray(v0)}
+    p_fused, s_fused = params, opt.init(params)
+    p_chain, s_chain = params, opt.init(params)
+
+    for step in range(6):
+        scale = 25.0 if step == 3 else 0.05  # step 3 trips the clip
+        gw = rng.normal(size=w0.shape, scale=scale).astype(np.float32)
+        gv = rng.normal(size=v0.shape, scale=scale).astype(np.float32)
+
+        tw.grad = torch.from_numpy(gw.copy())
+        tv.grad = torch.from_numpy(gv.copy())
+        total = torch.nn.utils.clip_grad_norm_([tw, tv], max_norm=1.0)
+        topt.step()
+
+        g = {"w": jnp.asarray(gw), "v": jnp.asarray(gv)}
+        p_fused, s_fused = opt.fused_apply(p_fused, g, s_fused, lr)
+        u, s_chain = opt.transform.update(g, s_chain, p_chain)
+        p_chain = optax.apply_updates(
+            p_chain, jax.tree.map(lambda x: -lr * x, u)
+        )
+
+    for name, tp in (("w", tw), ("v", tv)):
+        np.testing.assert_allclose(
+            np.asarray(p_fused[name]), tp.detach().numpy(),
+            rtol=2e-5, atol=2e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_fused[name]), np.asarray(p_chain[name]),
+            rtol=1e-6, atol=1e-7,
+        )
+    # the fused path keeps the optax chain's exact state STRUCTURE
+    # (checkpoints interchange freely between the two paths)
+    assert jax.tree.structure(s_fused) == jax.tree.structure(s_chain)
+    for a, b in zip(jax.tree.leaves(s_fused), jax.tree.leaves(s_chain)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )

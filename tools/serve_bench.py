@@ -61,6 +61,46 @@ def device_only_ms(predictor, batch_size, n_views, trials=8):
     return 1000.0 * best
 
 
+class DeviceStagedPredictor:
+    """Serving predictor with the TUNNEL taken out of the loop.
+
+    This environment reaches the TPU through the axon tunnel (~16-19 MB/s
+    host<->device), so end-to-end serving rows are transfer-bound and say
+    nothing about how the BatchingServer + model behave on a real TPU host
+    (PCIe/DMA at GB/s, transfer ~ms).  This wrapper keeps the REAL
+    queueing/coalescing/backpressure dynamics but (a) feeds the jitted
+    model a pre-staged on-device batch of the dispatched shape, and (b)
+    fetches only a [B] per-sample reduction of the full sigmoid volume
+    (forces the whole computation, ~bytes over the tunnel), standing in
+    for the ~ms result DMA of a real host.  Request payloads returned to
+    futures are the reductions, not volumes — benchmarking only.
+    """
+
+    def __init__(self, predictor):
+        import jax
+        import jax.numpy as jnp
+
+        model = predictor.model
+        self._vars = predictor.variables
+        self._cache = {}
+        self._fn = jax.jit(
+            lambda v, x: jax.nn.sigmoid(
+                model.apply(v, x, train=False)["refined_volumes"].astype(
+                    jnp.float32
+                )
+            ).mean(axis=(1, 2, 3))
+        )
+
+    def predict(self, images):
+        import jax
+
+        if images.shape not in self._cache:
+            self._cache[images.shape] = jax.device_put(
+                np.ascontiguousarray(images)
+            )
+        return np.asarray(self._fn(self._vars, self._cache[images.shape]))
+
+
 def run_point(predictor, batch_size, load_factor, n_requests, n_views,
               device_ms):
     """Offered load = load_factor x the device's max throughput."""
@@ -132,6 +172,10 @@ def main():
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--nano", action="store_true",
                     help="tiny f32 backbone (CPU smoke runs)")
+    ap.add_argument("--device-only", action="store_true",
+                    help="take the axon tunnel out of the loop: model runs "
+                    "on pre-staged device batches, results are tiny "
+                    "reductions (real-TPU-host simulation)")
     args = ap.parse_args()
 
     import jax
@@ -163,6 +207,11 @@ def main():
         )
         predictor = Predictor(model, variables, cfg)
 
+    transport = "host"
+    if args.device_only:
+        predictor = DeviceStagedPredictor(predictor)
+        transport = "device_staged"
+
     results = []
     for b in [int(x) for x in args.batches.split(",")]:
         dms = device_only_ms(predictor, b, args.n_views)
@@ -170,6 +219,7 @@ def main():
             r = run_point(
                 predictor, b, lf, args.requests, args.n_views, dms
             )
+            r["transport"] = transport
             print(json.dumps(r), flush=True)
             results.append(r)
     if args.json_out:
