@@ -156,7 +156,7 @@ def build_module_optimizer(
     schedule = multistep_lr(base_lr, milestones, cfg.TRAIN.GAMMA, steps_per_epoch)
     clip = optax.clip_by_global_norm(cfg.TRAIN.GRAD_CLIP_NORM)
     fused = None
-    use_fused = getattr(cfg.TRAIN, "FUSED_OPTIMIZER", True)
+    use_fused = cfg.TRAIN.FUSED_OPTIMIZER
     if cfg.TRAIN.POLICY == "adam":
         b1, b2 = cfg.TRAIN.BETAS
         transform = optax.chain(

@@ -45,12 +45,19 @@ def create_train_state(
     steps_per_epoch: int = 1,
     n_views: int | None = None,
     image_size: Tuple[int, int] | None = None,
+    jit_init: bool = True,
 ) -> Tuple[SwinVoxModel, TrainState, Dict[str, optax.GradientTransformation]]:
     """Build the model, initialize variables, and set up the optimizers.
 
     Init always runs with merger+refiner enabled so the parameter tree is
     stable across the reference's epoch-gated enabling
     (core/train.py:243,252).
+
+    jit_init=False runs init eagerly: on XLA:CPU the whole-model init
+    compiles as ONE giant module (measured 5+ min on this host), while
+    op-by-op eager dispatch finishes in seconds — use it for CPU dry runs
+    and CI.  On a real TPU keep the jit (one cached compile beats
+    thousands of tunnel round-trips).
     """
     from swinvox_tpu.models.layers import set_init_scheme
 
@@ -61,15 +68,17 @@ def create_train_state(
     sample = jnp.zeros((1, n_views, h, w, 3), jnp.float32)
 
     params_rng, dropout_rng = jax.random.split(rng)
-    variables = jax.jit(
-        lambda k: model.init(
+
+    def init_fn(k):
+        return model.init(
             {"params": k, "dropout": dropout_rng},
             sample,
             train=False,
             enable_merger=True,
             enable_refiner=True,
         )
-    )(params_rng)
+
+    variables = (jax.jit(init_fn) if jit_init else init_fn)(params_rng)
 
     optimizers = build_optimizers(cfg, steps_per_epoch)
     params = variables["params"]

@@ -336,6 +336,7 @@ def test_optimizer_matches_torch_adam_and_optax_chain():
     from swinvox_tpu.train.optim import build_module_optimizer
 
     cfg = default_config()
+    cfg.TRAIN.FUSED_OPTIMIZER = True  # build fused_apply whatever the default
     lr, (b1, b2) = 2.5e-3, cfg.TRAIN.BETAS
     wd = cfg.TRAIN.WEIGHT_DECAY
     rng = np.random.default_rng(7)
