@@ -39,17 +39,73 @@ NSTEPS_INFER = 30
 NSTEPS_TRAIN = 10
 
 
-def _measure(fn, n_steps, n_trials=4):
-    """Best wall-clock of n_trials runs of n_steps chained calls."""
-    best = float("inf")
-    for _ in range(n_trials):
+def _other_tpu_processes():
+    """Other live python processes on this host (candidate TPU users).
+
+    Only ONE process can use the TPU without time-slicing; a stale
+    background trainer silently halves the measured throughput (the
+    r4 driver recorded 507.9 img/s where a clean same-day re-measure
+    gave 568.9).  We can't kill by pattern safely — detect and report.
+    """
+    import os
+
+    me = os.getpid()
+    parents = set()
+    pid = me
+    for _ in range(10):  # ancestors are not "other" processes
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+        parents.add(pid)
+    out = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit() or int(entry) == me or int(entry) in parents:
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        if "python" in cmd and any(
+            k in cmd for k in ("swinvox", "bench", "train", "serve", "jax")
+        ):
+            out.append(f"pid {entry}: {cmd.strip()[:160]}")
+    return out
+
+
+def _measure(fn, n_steps, n_trials=6, label=""):
+    """Best wall-clock of n_trials runs of n_steps chained calls.
+
+    Per-trial numbers go to stderr so run-condition variance (tunnel
+    contention, cold caches, a concurrent TPU process) is visible in the
+    driver tail instead of silently poisoning the single reported value.
+    """
+    times = []
+    for i in range(n_trials):
         t0 = time.perf_counter()
         s = fn(n_steps)
         acc = float(s)  # device->host fetch forces completion of the chain
         elapsed = time.perf_counter() - t0
         # a diverged/NaN chain must never contribute a timing sample
         assert np.isfinite(acc), f"non-finite chain value {acc!r}"
-        best = min(best, elapsed)
+        times.append(elapsed)
+    best = min(times)
+    spread = (max(times) - best) / best
+    print(
+        f"bench[{label}]: trials s/run = "
+        + ", ".join(f"{t:.3f}" for t in times)
+        + f" (best {best:.3f}, spread {spread:.1%})",
+        file=sys.stderr,
+    )
+    if spread > 0.25:
+        print(
+            f"bench[{label}]: WARNING trial spread {spread:.1%} > 25% — "
+            "run conditions unstable (contention or cold cache); "
+            "the best-of-N value stands but treat it as a lower bound",
+            file=sys.stderr,
+        )
     return best
 
 
@@ -73,7 +129,7 @@ def bench_inference(model, variables):
             s = infer(variables, batch)
         return s
 
-    elapsed = _measure(run, NSTEPS_INFER)
+    elapsed = _measure(run, NSTEPS_INFER, label="infer")
     return NSTEPS_INFER * INFER_BATCH * N_VIEWS / elapsed
 
 
@@ -113,7 +169,7 @@ def bench_training(cfg):
             )
         return m["total_loss"]
 
-    elapsed = _measure(run, NSTEPS_TRAIN)
+    elapsed = _measure(run, NSTEPS_TRAIN, label="train")
     return NSTEPS_TRAIN * TRAIN_BATCH * N_VIEWS / elapsed
 
 
@@ -123,6 +179,14 @@ def main() -> int:
     from swinvox_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    others = _other_tpu_processes()
+    if others:
+        print(
+            "bench: WARNING other candidate TPU processes are live — the "
+            "chip time-slices and the measurement may be contaminated:\n  "
+            + "\n  ".join(others),
+            file=sys.stderr,
+        )
     cfg = default_config()
 
     # The rewindow stage chain is the newest Mosaic surface; if a

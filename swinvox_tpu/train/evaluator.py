@@ -154,6 +154,8 @@ def evaluate(
         pad = local_bs - len(pend_img)
         images = np.stack(pend_img + [pend_img[-1]] * pad)
         volumes = np.stack(pend_vol + [pend_vol[-1]] * pad)
+        if volumes.dtype != np.uint8:  # binary occupancy: uint8 on the wire
+            volumes = volumes.astype(np.uint8)
         host = {"images": images, "volumes": volumes}
         if pend_aug:
             for k in pend_aug[0]:

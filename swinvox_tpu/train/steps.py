@@ -77,13 +77,15 @@ def make_train_step(
     def train_step(
         state: TrainState,
         images: jax.Array,  # [B, N, H, W, 3] float32
-        volumes: jax.Array,  # [B, D, H, W] float32 {0,1}
+        volumes: jax.Array,  # [B, D, H, W] {0,1}: f32, or uint8 on the wire
         rng: jax.Array,
         enable_merger: bool,
         enable_refiner: bool,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         images = jnp.clip(images, -1.0, 1.0)
-        volumes = jnp.clip(volumes, 0.0, 1.0)
+        # loaders ship binary occupancy as uint8 (4x less host->device
+        # traffic, batch_to_host_dict); loss math is f32 either way
+        volumes = jnp.clip(volumes.astype(jnp.float32), 0.0, 1.0)
         dropout_rng = jax.random.fold_in(rng, state.step)
 
         if grad_accum_steps == 1:
@@ -215,7 +217,7 @@ def make_eval_step(
         enable_refiner: bool,
     ) -> Dict[str, jax.Array]:
         images = jnp.clip(images, -1.0, 1.0)
-        volumes = jnp.clip(volumes, 0.0, 1.0)
+        volumes = jnp.clip(volumes.astype(jnp.float32), 0.0, 1.0)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
