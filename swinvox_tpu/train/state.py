@@ -45,7 +45,7 @@ def create_train_state(
     steps_per_epoch: int = 1,
     n_views: int | None = None,
     image_size: Tuple[int, int] | None = None,
-    jit_init: bool = True,
+    jit_init: bool | str = True,
 ) -> Tuple[SwinVoxModel, TrainState, Dict[str, optax.GradientTransformation]]:
     """Build the model, initialize variables, and set up the optimizers.
 
@@ -58,6 +58,14 @@ def create_train_state(
     op-by-op eager dispatch finishes in seconds — use it for CPU dry runs
     and CI.  On a real TPU keep the jit (one cached compile beats
     thousands of tunnel round-trips).
+
+    jit_init="shape" never executes the model at all: jax.eval_shape
+    traces init and the variables are materialized host-side (small
+    deterministic normals for params; mean=0/var=1 for BN statistics).
+    The values are NOT a real initialization — use only where structure
+    and finite numerics matter (dry runs, smoke tests): eager init
+    measured 73 s of the multichip dryrun's budget on the 1-core CI
+    host, shape init ~10 s.
     """
     from swinvox_tpu.models.layers import set_init_scheme
 
@@ -78,7 +86,40 @@ def create_train_state(
             enable_refiner=True,
         )
 
-    variables = (jax.jit(init_fn) if jit_init else init_fn)(params_rng)
+    if jit_init == "shape":
+        import numpy as np
+
+        shapes = jax.eval_shape(init_fn, params_rng)
+        seed = [0]
+
+        def fill_param(s):
+            seed[0] += 1
+            r = np.random.default_rng(seed[0])
+            return jnp.asarray(
+                (r.standard_normal(s.shape) * 0.05).astype(s.dtype)
+            )
+
+        def fill_stat(path, s):
+            names = tuple(
+                getattr(k, "key", getattr(k, "name", str(k))) for k in path
+            )
+            fill = np.ones if any("var" in n for n in names) else np.zeros
+            return jnp.asarray(fill(s.shape, s.dtype))
+
+        variables = {
+            "params": jax.tree.map(fill_param, shapes["params"]),
+            **(
+                {
+                    "batch_stats": jax.tree_util.tree_map_with_path(
+                        fill_stat, shapes["batch_stats"]
+                    )
+                }
+                if "batch_stats" in shapes
+                else {}
+            ),
+        }
+    else:
+        variables = (jax.jit(init_fn) if jit_init else init_fn)(params_rng)
 
     optimizers = build_optimizers(cfg, steps_per_epoch)
     params = variables["params"]

@@ -429,6 +429,57 @@ def test_view_axis_context_parallel_train(setup):
         assert close.mean() > 0.995, (module, close.mean())
 
 
+def test_shape_init_matches_real_init_structure():
+    """jit_init="shape" (the multichip dryrun's fast path) must produce
+    exactly the tree the real init would — structure, shapes, dtypes —
+    with valid BN statistics (var=1, mean=0), without executing the
+    model."""
+    from swinvox_tpu.train.state import create_train_state
+
+    cfg = tiny_cfg()
+    cfg.NETWORK.SWIN_T_STAGES = (1,)
+    model, state, optimizers = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=1, n_views=2,
+        jit_init="shape",
+    )
+
+    sample = jnp.zeros((1, 2, 224, 224, 3), jnp.float32)
+    expected = jax.eval_shape(
+        lambda k: model.init(
+            {"params": k, "dropout": jax.random.PRNGKey(1)},
+            sample, train=False, enable_merger=True, enable_refiner=True,
+        ),
+        jax.random.PRNGKey(0),
+    )
+    got = {"params": state.params, "batch_stats": state.batch_stats}
+    jax.tree.map(
+        lambda g, e: (g.shape, g.dtype) == (e.shape, e.dtype) or pytest.fail(
+            f"shape-init mismatch: {g.shape}/{g.dtype} vs {e.shape}/{e.dtype}"
+        ),
+        got, expected,
+    )
+    assert (
+        jax.tree_util.tree_structure(got)
+        == jax.tree_util.tree_structure(expected)
+    )
+
+    def check_stats(path, leaf):
+        names = tuple(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        want = 1.0 if any("var" in n for n in names) else 0.0
+        np.testing.assert_array_equal(np.asarray(leaf), want)
+
+    jax.tree_util.tree_map_with_path(check_stats, state.batch_stats)
+    # params are small nonzero normals (not a real init, but alive)
+    kernels = [
+        x for x in jax.tree.leaves(state.params) if x.ndim >= 2
+    ]
+    assert all(float(jnp.abs(k).max()) > 0 for k in kernels)
+    # optimizer states exist for all four module groups
+    assert set(state.opt_states) == set(MODULE_NAMES)
+
+
 def test_init_scheme_switch():
     import jax
     import jax.numpy as jnp
