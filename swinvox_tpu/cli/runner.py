@@ -52,6 +52,11 @@ def get_args_from_command_line(argv=None):
     parser.add_argument("--dataset-root", dest="dataset_root", default=None,
                         help="root containing ShapeNetRendering/ ShapeNetVox32/ "
                         "and a taxonomy .json")
+    parser.add_argument("--platform", dest="platform", default=None,
+                        help="force the JAX backend (e.g. 'cpu'); the site "
+                        "configuration pins the TPU platform regardless of "
+                        "JAX_PLATFORMS, so use --platform cpu for host-only "
+                        "dry runs")
     return parser.parse_args(argv)
 
 
@@ -131,6 +136,10 @@ def main(argv=None) -> int:
         format="[%(levelname)s] %(asctime)s %(message)s", level=logging.INFO
     )
     args = get_args_from_command_line(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     cfg = build_config(args)
     cfg.validate()
 

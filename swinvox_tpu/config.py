@@ -172,6 +172,17 @@ class NetworkConfig:
     # it exactly there, which is the multi-chip data-parallel regime
     USE_MERGER_STACK: bool = True
     MERGER_STACK_MAX_VOLUMES: int = 64
+    # n_views == 1 (a static shape): the merger's softmax over a
+    # singleton view axis is exactly 1.0, so merged == coarse bitwise
+    # and every merger-parameter gradient is exactly zero — skip the
+    # weighted sum and the whole merger backward, keeping the conv
+    # stack forward-only at train time for bit-exact BatchNorm
+    # running-statistics parity with the reference's always-on merger
+    # (core/train.py runs it regardless of view count).  The merger
+    # gradient is exactly zero either way, so the training trajectory
+    # is unchanged; the flag exists for A/B only.  Measured at batch
+    # 128: 569.9 -> 637.4 img/s (tools/ab_bench.py 2026-08-20).
+    MERGER_SINGLE_VIEW_IDENTITY: bool = True
     # tap-unrolled custom backward for the refiner's 1-channel first conv
     # (ops/unrolled_conv.py — pure XLA reassociation; fwd unchanged).
     # Off: measured 153.7 -> 298.6 ms/step at batch 64 — the chunked

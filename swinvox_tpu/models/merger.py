@@ -57,6 +57,20 @@ class Merger(nn.Module):
     # largest volume count at which use_stack engages (the kernel scales
     # linearly with volumes; XLA's merger cost is ~flat in batch)
     stack_max_volumes: int = 64
+    # n_views == 1 (a static shape): softmax over a singleton view axis
+    # is exactly 1.0, so the merged volume IS the single coarse volume
+    # bitwise, the softmax jacobian w*(1-w) is exactly zero, and every
+    # merger-parameter gradient (and the gradient into raw_features) is
+    # exactly zero.  With this flag the weighted sum and the whole
+    # backward are skipped; the conv stack still runs FORWARD-only at
+    # train time (under stop_gradient) so the BatchNorm running
+    # statistics update exactly as the reference's always-on merger
+    # does (reference core/train.py runs the merger regardless of view
+    # count).  The merger gradient is exactly zero either way (asserted
+    # numerically in tests/test_train.py), so the training trajectory
+    # is unchanged; measured 224.6 -> 200.8 ms on the batch-128 train
+    # step (569.9 -> 637.4 img/s, tools/ab_bench.py 2026-08-20).
+    single_view_identity: bool = True
     # run the fused kernel in the Pallas interpreter (CPU parity tests)
     pallas_interpret: bool = False
 
@@ -82,6 +96,26 @@ class Merger(nn.Module):
         norms = [
             Norm(dtype=self.dtype, name=f"bn{i + 1}") for i in range(6)
         ]
+
+        identity = self.single_view_identity and n_views == 1
+        if identity:
+            # merged == coarse bitwise and all merger/raw gradients are
+            # exactly zero (see the single_view_identity note above).
+            merged_1v = (
+                coarse_volumes[:, 0].astype(jnp.float32).astype(self.dtype)
+            )
+            if not train:
+                # register the identical variable trees (the dummy-trace
+                # trick from the use_fused branch) and skip the stack.
+                for i, (ci, _) in enumerate(_CHANNELS):
+                    d = convs[i](jnp.zeros((1, 3, 3, 3, ci), self.dtype))
+                    norms[i](d, False)
+                return merged_1v
+            # train: fall through so the selected conv-stack path runs
+            # forward-only for its BatchNorm statistics side effect; the
+            # pre-softmax `weights` value is discarded below, so XLA
+            # dead-code-eliminates everything not feeding the stats.
+            x = jax.lax.stop_gradient(x)
 
         if use_fused:
             from swinvox_tpu.ops.pallas_merger import merger_view_weights
@@ -247,6 +281,9 @@ class Merger(nn.Module):
             y = nn.leaky_relu(y, self.leaky_value)
             weights = y.reshape(b, n_views, 32, 32, 32)
 
+        if identity:
+            del weights  # kept only for its BatchNorm statistics
+            return merged_1v
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=1)
         merged = jnp.sum(
             coarse_volumes.astype(jnp.float32) * weights, axis=1

@@ -57,6 +57,7 @@ class SwinVoxModel(nn.Module):
     use_slab_merger: bool = False
     use_merger_stack: bool = False
     merger_stack_max_volumes: int = 64
+    merger_single_view_identity: bool = True
     refiner_unrolled_conv: bool = False
     # fused Pallas backward for the refiner's 1-channel first conv
     # (ops/pallas_down1.py): one pass over the cotangent computes both
@@ -91,6 +92,7 @@ class SwinVoxModel(nn.Module):
             use_slab_merger=net.USE_SLAB_MERGER,
             use_merger_stack=net.USE_MERGER_STACK,
             merger_stack_max_volumes=net.MERGER_STACK_MAX_VOLUMES,
+            merger_single_view_identity=net.MERGER_SINGLE_VIEW_IDENTITY,
             refiner_unrolled_conv=net.REFINER_UNROLLED_CONV,
             refiner_down1_pallas=net.REFINER_DOWN1_PALLAS,
             use_pallas_swin_block=net.USE_PALLAS_SWIN_BLOCK,
@@ -141,6 +143,7 @@ class SwinVoxModel(nn.Module):
                 use_slab=self.use_slab_merger,
                 use_stack=self.use_merger_stack,
                 stack_max_volumes=self.merger_stack_max_volumes,
+                single_view_identity=self.merger_single_view_identity,
                 pallas_interpret=self.pallas_interpret,
                 name="merger",
             )(raw_features, coarse, train)

@@ -10,6 +10,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 
 pytestmark = pytest.mark.heavy
@@ -427,6 +428,141 @@ def test_view_axis_context_parallel_train(setup):
         assert np.abs(b - a).max() <= 2.1 * 3e-3, module
         close = np.isclose(b, a, rtol=1e-2, atol=2e-3)
         assert close.mean() > 0.995, (module, close.mean())
+
+
+def test_merger_single_view_identity_parity():
+    """MERGER_SINGLE_VIEW_IDENTITY skips the merger's weighted sum and
+    backward at n_views == 1.  That skip is an algebraic identity
+    (softmax over a singleton axis is exactly 1.0, its jacobian exactly
+    zero), so ONE train step with the flag on must reproduce the
+    flag-off step: same losses, same updated params in every module,
+    same BatchNorm statistics.  (The merger params still MOVE under
+    both paths — Adam's add_decayed_weights term is nonzero even at
+    exactly-zero gradients — and both paths feed the optimizer the
+    same all-zero merger gradient tree, verified exactly below.  The
+    updated values are compared to float tolerance, not bitwise: the
+    two flag settings are separately-compiled programs and XLA's
+    fusion/FMA choices in the optimizer arithmetic differ by ulps
+    across compilations.)"""
+    cfg = tiny_cfg()
+    model_off = dataclasses.replace(
+        SwinVoxModel.from_config(cfg),
+        swin_depths=(1, 1, 1, 1),
+        resnet_stage_depths=(1, 1, 1),
+        merger_single_view_identity=False,
+    )
+    model_on = dataclasses.replace(model_off, merger_single_view_identity=True)
+
+    sample = jnp.zeros((1, 1, 224, 224, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k: model_off.init(
+            {"params": k, "dropout": jax.random.PRNGKey(9)},
+            sample, train=False,
+        )
+    )(jax.random.PRNGKey(0))
+    # the identity path registers variables via the dummy-trace trick —
+    # the tree (structure, shapes, values) must be interchangeable
+    variables_on = jax.jit(
+        lambda k: model_on.init(
+            {"params": k, "dropout": jax.random.PRNGKey(9)},
+            sample, train=False,
+        )
+    )(jax.random.PRNGKey(0))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        variables, variables_on,
+    )
+
+    optimizers = build_optimizers(cfg, steps_per_epoch=10)
+    params = variables["params"]
+    state = TrainState(
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_states={n: optimizers[n].init(params[n]) for n in MODULE_NAMES},
+        step=jnp.zeros((), jnp.int32),
+    )
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(
+        rng.uniform(-1, 1, (4, 1, 224, 224, 3)).astype(np.float32)
+    )
+    vols = jnp.asarray((rng.random((4, 32, 32, 32)) > 0.7).astype(np.float32))
+
+    results = {}
+    for name, model in (("off", model_off), ("on", model_on)):
+        step = make_train_step(model, optimizers, donate=False)
+        s, m = step(
+            state, images, vols, jax.random.PRNGKey(0),
+            enable_merger=True, enable_refiner=True,
+        )
+        results[name] = (s, m)
+
+    s_off, m_off = results["off"]
+    s_on, m_on = results["on"]
+    for k in ("total_loss", "encoder_loss", "refiner_loss"):
+        np.testing.assert_allclose(
+            float(m_on[k]), float(m_off[k]), rtol=1e-6, err_msg=k
+        )
+    # the merger gradient is exactly zero under BOTH paths (softmax
+    # over a singleton view axis): assert it directly on the full-path
+    # model, where it is a numeric (not structural) fact
+    def off_loss(params):
+        out, _ = model_off.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            images, train=True, enable_merger=True, enable_refiner=True,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"],
+        )
+        mv = out["merged_volumes"].astype(jnp.float32)
+        rv = out["refined_volumes"].astype(jnp.float32)
+        return (
+            optax.sigmoid_binary_cross_entropy(mv, vols).mean()
+            + optax.sigmoid_binary_cross_entropy(rv, vols).mean()
+        )
+
+    g_off = jax.jit(jax.grad(off_loss))(state.params)
+    jax.tree.map(
+        lambda a: np.testing.assert_array_equal(np.asarray(a), 0.0),
+        g_off["merger"],
+    )
+    # so the weight-decay-driven Adam updates match across paths (to
+    # cross-compilation float tolerance)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        s_on.params["merger"], s_off.params["merger"],
+    )
+    # every updated param and BN statistic matches across the paths
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        s_on.params, s_off.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        s_on.batch_stats, s_off.batch_stats,
+    )
+
+    # eval: the merged output must equal the single coarse volume for
+    # the identity path AND the full path (same algebra, computed)
+    out_on = model_on.apply(
+        {"params": s_on.params, "batch_stats": s_on.batch_stats},
+        images, train=False, enable_merger=True, enable_refiner=True,
+    )
+    out_off = model_off.apply(
+        {"params": s_off.params, "batch_stats": s_off.batch_stats},
+        images, train=False, enable_merger=True, enable_refiner=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_on["merged_volumes"], np.float32),
+        np.asarray(out_off["merged_volumes"], np.float32),
+        rtol=1e-6, atol=1e-7,
+    )
 
 
 def test_shape_init_matches_real_init_structure():
