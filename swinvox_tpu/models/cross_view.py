@@ -68,18 +68,30 @@ class CrossViewAttention(nn.Module):
         )
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        scale = 1.0 / jnp.sqrt(jnp.float32(head_dim * n_views))
-        scores = (
-            jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-            * scale
-        )
-        probs = jax.nn.softmax(scores, axis=-1)  # softmax over views
-        attended = jnp.einsum(
-            "bhnm,bhmd->bhnd",
-            probs.astype(v.dtype),
-            v,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        if n_views == 1:
+            # softmax over a singleton view axis is exactly 1.0, so the
+            # value mix IS v bitwise and the q/k gradients are exactly
+            # zero (same algebra as the merger's single_view_identity,
+            # models/merger.py) — skip the score/softmax/mix einsums;
+            # XLA then narrows the qkv matmul and its backward to the
+            # live v slice.  Exactness pinned in tests/test_models.py.
+            attended = v.astype(self.dtype)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.float32(head_dim * n_views))
+            scores = (
+                jnp.einsum(
+                    "bhnd,bhmd->bhnm", q, k,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            probs = jax.nn.softmax(scores, axis=-1)  # softmax over views
+            attended = jnp.einsum(
+                "bhnm,bhmd->bhnd",
+                probs.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
 
         # back to per-view feature maps [B*N, nh, nw, reduced]
         attended = attended.reshape(

@@ -230,6 +230,39 @@ def test_cross_view_attention_view_equivariance(rng):
     )
 
 
+def test_cross_view_attention_single_view_identity(rng):
+    """At n_views == 1 the CVA skips the score/softmax/mix einsums
+    (softmax over a singleton view axis is exactly 1.0 — models/
+    cross_view.py).  Duplicating the view exercises the FULL einsum
+    path, whose algebra reduces identically (uniform softmax over equal
+    scores; 0.5*v + 0.5*v == v exactly in fp), so the two must agree;
+    and the q/k slices of the qkv projection must receive exactly-zero
+    gradients, keeping the training trajectory unchanged vs the full
+    computation."""
+    cva = CrossViewAttention(dtype=jnp.float32)
+    x1 = jnp.asarray(rng.standard_normal((2, 1, 7, 7, 512), dtype=np.float32))
+    variables = jax.jit(lambda k: cva.init(k, x1, False))(jax.random.PRNGKey(0))
+    params = randomize(variables["params"], jax.random.PRNGKey(1))
+    vs = {"params": params, "batch_stats": variables["batch_stats"]}
+    out1 = cva.apply(vs, x1, False)
+    out2 = cva.apply(vs, jnp.concatenate([x1, x1], axis=1), False)
+    np.testing.assert_allclose(
+        np.asarray(out2[:, 0]), np.asarray(out1[:, 0]), rtol=1e-6, atol=1e-7
+    )
+
+    def loss(p):
+        y = cva.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, x1, False
+        )
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    gk = np.asarray(g["qkv_conv"]["Conv_0"]["kernel"])  # [1,1,512,3*reduced]
+    reduced = 512 // 4
+    np.testing.assert_array_equal(gk[..., : 2 * reduced], 0.0)
+    assert np.abs(gk[..., 2 * reduced :]).max() > 0.0
+
+
 def test_decoder_shapes_and_logit_channel(rng):
     dec = Decoder(dtype=jnp.float32)
     x = jnp.asarray(rng.standard_normal((2, 3, 7, 7, 256), dtype=np.float32))
