@@ -6,7 +6,9 @@ cross-view attention + merger + refiner, bfloat16) on synthetic 224^2
 
   * TRAINING (the headline): one jitted train step — forward, both BCE
     losses, backward, all four per-module Adam updates — at batch 128
-    (the measured single-chip sweet spot: 417/492/552/476/518 img/s at
+    (the measured single-chip sweet spot; post-identity re-sweep
+    2026-08-20: 638.6 @128 vs 579.4 @192, 630.9 @256; round-2 curve
+    was 417/492/552/476/518 img/s at
     batch 64/96/128/192/256), 1 view, merger+refiner enabled.
     Baseline: the reference's only recorded throughput, ~70 images/s
     TRAINING on a Colab GPU (BASELINE.md; Notebooks cell 47).
