@@ -195,14 +195,38 @@ def main() -> int:
     # toolchain change makes it fail to BUILD, fall back to the proven
     # per-block fused path rather than losing the whole benchmark.
     fallback = ""
-    try:
-        train_ips = bench_training(cfg)
-    except Exception as e:  # compile/lowering failure, not divergence
+    # Transient tunnel/RPC failures (the axon remote-compile endpoint
+    # occasionally drops a response mid-read) must NOT demote the run to
+    # the slower fallback config — retry the DEFAULT config first and
+    # only fall back on persistent (i.e. real lowering/build) failures.
+    transient_markers = (
+        "remote_compile", "read body", "DEADLINE", "UNAVAILABLE",
+        "Socket closed", "connection", "Connection", "RESOURCE_EXHAUSTED",
+    )
+    train_ips = None
+    last_err = None
+    for attempt in range(3):
+        try:
+            train_ips = bench_training(cfg)
+            break
+        except Exception as e:  # compile/lowering failure, not divergence
+            last_err = e
+            msg = f"{type(e).__name__}: {e}"
+            if any(m in msg for m in transient_markers) and attempt < 2:
+                print(
+                    f"bench: transient failure ({msg[:200]}); retrying "
+                    f"default config (attempt {attempt + 2}/3)",
+                    file=sys.stderr,
+                )
+                time.sleep(10)
+                continue
+            break
+    if train_ips is None:
         if not cfg.NETWORK.USE_REWINDOW_CHAIN:
-            raise
+            raise last_err
         print(
-            f"bench: default config failed ({type(e).__name__}: {e}); "
-            "retrying with NETWORK.USE_REWINDOW_CHAIN=false",
+            f"bench: default config failed ({type(last_err).__name__}: "
+            f"{last_err}); retrying with NETWORK.USE_REWINDOW_CHAIN=false",
             file=sys.stderr,
         )
         cfg.NETWORK.USE_REWINDOW_CHAIN = False
